@@ -1,0 +1,102 @@
+"""Benchmark: SLIM CD learn throughput (item-columns solved/sec) on the
+ml100k workload, TPU vs the native multithreaded CPU baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The baseline is this repo's own C++/OpenMP CD solver (slim_tpu/native),
+which implements the reference algorithm's exact computational shape
+(per-column O(nnz) screen + sparse CD sweeps, OpenMP over columns --
+estimate.c:328-558) at all available cores.  The reference itself ships no
+numbers and its GKlib submodule is not vendored (BASELINE.md), so this is
+the honest stand-in for "the 16-thread C baseline" on this machine.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_TEST_DIR = "/root/reference/test"
+
+L1R, L2R = 1.0, 1.0
+OPT_TOL = 1e-7
+MAXNITERS = 10000
+
+
+def load_workload():
+    """ml100k implicit train matrix (943 x ~1682), or a synthetic clone."""
+    from slim_tpu.io.readers import read_matrix
+    from slim_tpu.types import CSR
+
+    path = os.path.join(REFERENCE_TEST_DIR, "ml100k.cluto")
+    if os.path.exists(path):
+        return read_matrix(path, fmt="cluto"), "ml100k"
+    rng = np.random.default_rng(0)
+    nrows, ncols, nnz = 943, 1682, 100000
+    users = rng.integers(0, nrows, nnz)
+    pop = rng.zipf(1.3, nnz * 2) % ncols
+    items = pop[:nnz]
+    vals = rng.integers(1, 6, nnz).astype(np.float32)
+    return CSR.from_ijv(users, items, vals, nrows, ncols), "synthetic-ml100k"
+
+
+def bench_tpu(train, repeats=3):
+    from slim_tpu.api import learn
+    from slim_tpu.config import SlimConfig
+
+    cfg = SlimConfig(l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
+                     block_size=256)
+    # warmup (compile)
+    learn(train, cfg)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        model, stats = learn(train, cfg)
+        best = min(best, time.perf_counter() - t0)
+    return train.infer_ncols().ncols / best, model, stats, best
+
+
+def bench_cpu(train):
+    from slim_tpu import native
+
+    if not native.available():
+        return None, None
+    t0 = time.perf_counter()
+    model, err, obj = native.cd_learn(
+        train, l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
+        nthreads=0)  # all cores
+    dt = time.perf_counter() - t0
+    return train.infer_ncols().ncols / dt, obj
+
+
+def main():
+    train, name = load_workload()
+    train = train.infer_ncols()
+
+    tpu_cps, model, stats, tpu_s = bench_tpu(train)
+    cpu_cps, cpu_obj = bench_cpu(train)
+
+    vs = tpu_cps / cpu_cps if cpu_cps else float("nan")
+    out = {
+        "metric": f"{name}_cd_item_columns_per_sec",
+        "value": round(tpu_cps, 2),
+        "unit": "columns/sec",
+        "vs_baseline": round(vs, 3) if cpu_cps else None,
+        "tpu_learn_s": round(tpu_s, 3),
+        "cpu_baseline_columns_per_sec": round(cpu_cps, 2) if cpu_cps else None,
+        "objective": stats.get("loss"),
+        "cpu_objective": cpu_obj,
+        "model_nnz": model.nnz,
+        "ncols": train.ncols,
+        "device": str(__import__("jax").devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

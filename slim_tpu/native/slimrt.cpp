@@ -1,0 +1,266 @@
+// slim_tpu native runtime: host-side sparse kernels.
+//
+// Components:
+//   * slim_cd_learn  - OpenMP coordinate-descent SLIM solver over CSC
+//     columns.  Implements the same per-column elastic-net nonneg problem
+//     as the TPU kernel (see slim_tpu/ops/cd_kernel.py and SURVEY.md §0);
+//     used as the measured CPU baseline in bench.py and as a host fallback
+//     backend.  Written from the mathematical spec:
+//       min 1/2||y - Ax||^2 + l2r/2||x||^2 + l1r||x||_1,  x >= 0, x_j = 0
+//     active set {i != j : a_i.y > l1r}; coordinate update
+//       x_i <- max(a_i.(y - yhat_{-i}) - l1r, 0) / (||a_i||^2 + l2r)
+//     stop when sum (dx)^2 < optTol or after min(50*nnz_j, maxniters)
+//     sweeps.
+//   * slim_gram_dense - threaded sparse Gram (A^T A) into a dense buffer,
+//     the host path for feeding the TPU solver when the matrix is too
+//     sparse for the dense-matmul Gram to be worthwhile.
+//   * slim_parse_csr  - fast text parser for the csr/cluto rating formats.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ------------------------------------------------------------------ //
+// memory management for buffers returned to python
+// ------------------------------------------------------------------ //
+void slim_free(void *p) { std::free(p); }
+
+// ------------------------------------------------------------------ //
+// coordinate descent learn
+// ------------------------------------------------------------------ //
+// Inputs: CSC view of the (users x items) matrix.  colval == nullptr
+// means implicit 1.0 ratings.  Outputs are malloc'd CSC arrays of the
+// model (column j holds the solution for item j); caller must
+// slim_free them.  Returns total nnz, or -1 on error.
+int64_t slim_cd_learn(int32_t nrows, int32_t ncols, const int64_t *colptr,
+                      const int32_t *colind, const float *colval,
+                      double l1r, double l2r, double optTol,
+                      int32_t maxniters, int32_t shuffle, uint64_t seed,
+                      int32_t nthreads,
+                      int64_t **out_colptr, int32_t **out_colind,
+                      float **out_colval, double *out_err, double *out_obj) {
+  if (nthreads > 0) {
+#ifdef _OPENMP
+    omp_set_num_threads(nthreads);
+#endif
+  }
+
+  // squared column norms = diag of the Gram
+  std::vector<double> cnorm2(ncols, 0.0);
+  for (int32_t c = 0; c < ncols; ++c) {
+    double s = 0.0;
+    for (int64_t p = colptr[c]; p < colptr[c + 1]; ++p) {
+      double v = colval ? colval[p] : 1.0;
+      s += v * v;
+    }
+    cnorm2[c] = s;
+  }
+
+  std::vector<std::vector<int32_t>> res_ind(ncols);
+  std::vector<std::vector<float>> res_val(ncols);
+  double err_total = 0.0, obj_total = 0.0;
+
+#pragma omp parallel reduction(+ : err_total, obj_total)
+  {
+    std::vector<double> y(nrows, 0.0), yhat(nrows, 0.0);
+    std::vector<double> x(ncols, 0.0), aty(ncols, 0.0);
+    std::vector<int32_t> active;
+    active.reserve(ncols);
+    uint64_t rng_state = seed + 0x9e3779b97f4a7c15ULL;
+#ifdef _OPENMP
+    rng_state += (uint64_t)omp_get_thread_num() * 0x100000001b3ULL;
+#endif
+    auto next_rand = [&rng_state]() {
+      // xorshift64*
+      rng_state ^= rng_state >> 12;
+      rng_state ^= rng_state << 25;
+      rng_state ^= rng_state >> 27;
+      return rng_state * 0x2545F4914F6CDD1DULL;
+    };
+
+#pragma omp for schedule(dynamic, 32)
+    for (int32_t j = 0; j < ncols; ++j) {
+      // scatter the target column
+      for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p)
+        y[colind[p]] = colval ? colval[p] : 1.0;
+
+      // aty[i] = a_i . y for every column (the O(nnz) screen)
+      active.clear();
+      for (int32_t i = 0; i < ncols; ++i) {
+        double ip = 0.0;
+        for (int64_t p = colptr[i]; p < colptr[i + 1]; ++p)
+          ip += (colval ? colval[p] : 1.0) * y[colind[p]];
+        aty[i] = ip;
+        if (ip > l1r && i != j) active.push_back(i);
+      }
+
+      int64_t nnzj = colptr[j + 1] - colptr[j];
+      int32_t cap = (int32_t)std::min<int64_t>(50 * nnzj, maxniters);
+
+      // CD sweeps
+      for (int32_t t = 0; t < cap; ++t) {
+        double dltx = 0.0;
+        if (shuffle) {
+          for (size_t k = 0; k < active.size(); ++k) {
+            size_t m = next_rand() % active.size();
+            std::swap(active[k], active[m]);
+          }
+        }
+        for (int32_t i : active) {
+          double xi = x[i];
+          // remove x_i's contribution, take the inner product, restore
+          double ip = 0.0;
+          if (xi != 0.0) {
+            for (int64_t p = colptr[i]; p < colptr[i + 1]; ++p) {
+              double v = colval ? colval[p] : 1.0;
+              yhat[colind[p]] -= xi * v;
+            }
+          }
+          for (int64_t p = colptr[i]; p < colptr[i + 1]; ++p) {
+            double v = colval ? colval[p] : 1.0;
+            ip += v * yhat[colind[p]];
+          }
+          double num = aty[i] - ip;
+          double nx = num > l1r ? (num - l1r) / (cnorm2[i] + l2r) : 0.0;
+          if (nx != 0.0) {
+            for (int64_t p = colptr[i]; p < colptr[i + 1]; ++p) {
+              double v = colval ? colval[p] : 1.0;
+              yhat[colind[p]] += nx * v;
+            }
+          }
+          x[i] = nx;
+          dltx += (nx - xi) * (nx - xi);
+        }
+        if (dltx < optTol) break;
+      }
+
+      // residual + objective
+      double rnorm = 0.0;
+      for (int32_t r = 0; r < nrows; ++r) {
+        double d = y[r] - yhat[r];
+        rnorm += d * d;
+      }
+      rnorm *= 0.5;
+      double obj = rnorm;
+      for (int32_t i : active)
+        obj += 0.5 * l2r * x[i] * x[i] + l1r * std::fabs(x[i]);
+      err_total += rnorm;
+      obj_total += obj;
+
+      // harvest nonzeros, reset workspace
+      for (int32_t i : active) {
+        if (std::fabs(x[i]) > 1e-7) {
+          res_ind[j].push_back(i);
+          res_val[j].push_back((float)x[i]);
+        }
+        x[i] = 0.0;
+      }
+      for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p) y[colind[p]] = 0.0;
+      std::fill(yhat.begin(), yhat.end(), 0.0);
+    }
+  }
+
+  int64_t tnnz = 0;
+  for (int32_t j = 0; j < ncols; ++j) tnnz += (int64_t)res_ind[j].size();
+
+  auto *optr = (int64_t *)std::malloc(sizeof(int64_t) * (ncols + 1));
+  auto *oind = (int32_t *)std::malloc(sizeof(int32_t) * std::max<int64_t>(tnnz, 1));
+  auto *oval = (float *)std::malloc(sizeof(float) * std::max<int64_t>(tnnz, 1));
+  if (!optr || !oind || !oval) return -1;
+  int64_t pos = 0;
+  optr[0] = 0;
+  for (int32_t j = 0; j < ncols; ++j) {
+    // keep ascending coordinate order within each column
+    std::memcpy(oind + pos, res_ind[j].data(),
+                res_ind[j].size() * sizeof(int32_t));
+    std::memcpy(oval + pos, res_val[j].data(),
+                res_val[j].size() * sizeof(float));
+    pos += (int64_t)res_ind[j].size();
+    optr[j + 1] = pos;
+  }
+  *out_colptr = optr;
+  *out_colind = oind;
+  *out_colval = oval;
+  if (out_err) *out_err = err_total;
+  if (out_obj) *out_obj = obj_total;
+  return tnnz;
+}
+
+// ------------------------------------------------------------------ //
+// dense Gram from the CSR view: G[i,j] = sum_u A[u,i] A[u,j]
+// ------------------------------------------------------------------ //
+// out must hold ldg*ncols floats (row-major, ldg >= ncols); only the
+// leading ncols x ncols block is written (plus zero padding).
+void slim_gram_dense(int32_t nrows, int32_t ncols, const int64_t *rowptr,
+                     const int32_t *rowind, const float *rowval,
+                     float *out, int64_t ldg, int32_t nthreads) {
+  if (nthreads > 0) {
+#ifdef _OPENMP
+    omp_set_num_threads(nthreads);
+#endif
+  }
+  std::memset(out, 0, sizeof(float) * (size_t)ldg * (size_t)ldg);
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+    int nth = omp_get_num_threads();
+#else
+    int tid = 0, nth = 1;
+#endif
+    // each thread owns a contiguous band of output rows i
+    for (int32_t u = 0; u < nrows; ++u) {
+      for (int64_t p = rowptr[u]; p < rowptr[u + 1]; ++p) {
+        int32_t i = rowind[p];
+        if ((int64_t)i % nth != tid) continue;
+        double vi = rowval ? rowval[p] : 1.0;
+        float *gi = out + (int64_t)i * ldg;
+        for (int64_t q = rowptr[u]; q < rowptr[u + 1]; ++q) {
+          gi[rowind[q]] += (float)(vi * (rowval ? rowval[q] : 1.0));
+        }
+      }
+    }
+  }
+}
+
+// ------------------------------------------------------------------ //
+// fast whitespace tokeniser for csr-style text files
+// ------------------------------------------------------------------ //
+// Parses up to max_tokens doubles from buf; returns count.  Newlines are
+// recorded in line_breaks (token index where each line ends).
+int64_t slim_parse_tokens(const char *buf, int64_t len, double *out,
+                          int64_t max_tokens, int64_t *line_breaks,
+                          int64_t *n_lines) {
+  int64_t ntok = 0, nline = 0;
+  const char *p = buf, *end = buf + len;
+  while (p < end && ntok < max_tokens) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    if (p < end && *p == '\n') {
+      line_breaks[nline++] = ntok;
+      ++p;
+      continue;
+    }
+    if (p >= end) break;
+    char *next = nullptr;
+    double v = std::strtod(p, &next);
+    if (next == p) { ++p; continue; }
+    out[ntok++] = v;
+    p = next;
+  }
+  if (len > 0 && buf[len - 1] != '\n') line_breaks[nline++] = ntok;
+  *n_lines = nline;
+  return ntok;
+}
+
+}  // extern "C"

@@ -1,0 +1,189 @@
+"""Batched coordinate-descent block solver.
+
+TPU-native reformulation of the reference's per-column CD
+(src/libslim/cd.c:101-142 + driver src/libslim/estimate.c:328-558): a block
+of B item columns is solved simultaneously against the shared Gram matrix
+G = AᵀA.  All sparse vector ops of the reference become dense vector math:
+
+* ``aTy``            -> ``G[:, j]``  (the target's Gram column)
+* ``aᵢᵀ yhat``       -> ``q[i] - G[i,i]·x[i]`` with ``q = G x`` maintained
+                         incrementally (the reference maintains ``yhat`` in
+                         user space at O(nnz) per update; we maintain ``q``
+                         in item space at O(n) per update, B-way batched)
+* soft-threshold + nonnegativity (cd.c:125-128) is unchanged:
+  ``x_i = max(num - l1r, 0) / (G[i,i] + l2r)`` (no negative branch).
+
+The update order is a per-sweep random permutation shared across the block
+(the reference shuffles per column with a shared-state ``rand()``,
+cd.c:76-86 -- benign nondeterminism; we use a counter-based key so runs are
+reproducible).  Convergence per column: Σ(Δx)² < optTol (cd.c:135-138);
+per-column sweep cap min(50·nnz_j, maxniters) (estimate.c:448-449).
+
+``q`` is recomputed exactly on the MXU at the start of every sweep, so f32
+drift from the incremental rank-1 updates never accumulates across sweeps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype):
+    """FSLIM neighbour selection from Gram columns (neighbors.c:16-125).
+
+    Candidates are items co-rated with the target (gj > 0), excluding the
+    target itself; similarity is ``dotp`` = aᵀb, ``cos`` = aᵀb/‖b‖ (the
+    target's own norm is a constant per column so the ranking matches full
+    cosine; neighbors.c:82-83), ``jac`` = aᵀb/(‖b‖+‖a‖-aᵀb)
+    (neighbors.c:107-109; the reference uses 2-norms, not squared).  The
+    top-nnbrs by similarity become the CD active set.
+    """
+    B, npad = gj.shape
+    cnorms = jnp.sqrt(diag)
+    cols = jnp.arange(npad, dtype=jnp.int32)
+    cand = (gj > 0) & (cols[None, :] != self_ids[:, None]) \
+        & (cols[None, :] < n_valid)
+    if simtype == "dotp":
+        sim = gj
+    elif simtype == "cos":
+        sim = gj / jnp.maximum(cnorms[None, :], 1e-30)
+    elif simtype == "jac":
+        denom = cnorms[None, :] + jnp.take(
+            cnorms, jnp.clip(self_ids, 0, npad - 1))[:, None] - gj
+        sim = gj / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+    else:
+        raise ValueError(f"unknown simtype {simtype!r}")
+    sim = jnp.where(cand, sim, -jnp.inf)
+    k = max(1, min(int(nnbrs), npad))
+    vals, ids = jax.lax.top_k(sim, k)
+    valid = jnp.isfinite(vals)
+    return jnp.zeros((B, npad), bool).at[
+        jnp.arange(B)[:, None], ids].max(valid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype"))
+def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
+                       l1r, l2r, optTol, seed, shuffle=True,
+                       fslim_nnbrs=0, simtype="cos"):
+    """Column-id entry point: derives gj / active-set / yty from G inside
+    the compiled program (one compile for the whole learn loop -- per-block
+    eager slicing would trigger separate compilations on remote-compile
+    TPU setups).
+
+    ``j_ids`` padded entries should point at a zero column of G (the
+    driver pads with npad-1); their caps must be 0.
+    """
+    diag = jnp.diagonal(G)
+    gj = jnp.take(G, j_ids, axis=1).T                       # (B, npad)
+    npad = G.shape[0]
+    cols = jnp.arange(npad, dtype=j_ids.dtype)
+    if fslim_nnbrs > 0:
+        active = fslim_active_mask(gj, diag, j_ids, n_valid,
+                                   fslim_nnbrs, simtype)
+    else:
+        active = (gj > l1r) & (cols[None, :] != j_ids[:, None])
+    yty = jnp.take(diag, j_ids)
+    return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
+                    l1r, l2r, optTol, seed, shuffle)
+
+
+@functools.partial(jax.jit, static_argnames=("shuffle",))
+def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
+                   l1r, l2r, optTol, seed, shuffle=True):
+    return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
+                    l1r, l2r, optTol, seed, shuffle)
+
+
+def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
+             l1r, l2r, optTol, seed, shuffle=True):
+    """Solve B columns of the SLIM elastic-net problem against shared G.
+
+    Parameters
+    ----------
+    G : (n, n) f32          symmetric Gram matrix (padded cols are zero).
+    gj : (B, n) f32         Gram columns of the B targets: gj[b] = G[:, J[b]].
+    diag : (n,) f32         diag(G) = squared column norms.
+    active : (B, n) bool    active-set mask (screen G[:,j] > l1r, i != j --
+                            estimate.c:412-421 -- or FSLIM neighbour set).
+    x0 : (B, n) f32         warm start (caller pre-masks to the active set,
+                            estimate.c:453-471).
+    col_maxniters : (B,) i32  per-column sweep caps.
+    yty : (B,) f32          ||y_j||² = G[j,j] for residual computation.
+    l1r, l2r, optTol : scalars.
+    seed : i32 scalar       base for the per-sweep permutation keys.
+    shuffle : static bool   permuted vs cyclic coordinate order.
+
+    Returns
+    -------
+    x : (B, n) f32 solutions (zero outside active set).
+    niters : (B,) i32 sweeps run per column.
+    rstatus : (B,) bool converged-within-cap flag (cd.c:97-98).
+    rnorm : (B,) f32   ½||y - Ax||² per column (estimate.c:477-481).
+    obj : (B,) f32     full objective per column (estimate.c:484-489).
+    """
+    B, n = gj.shape
+    f32 = gj.dtype
+    x0 = jnp.where(active, x0, jnp.zeros((), f32))
+    tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
+    key = jax.random.PRNGKey(seed)
+
+    def sweep_cond(carry):
+        x, q, t, converged, niters = carry
+        live = (~converged) & (t < col_maxniters)
+        return (t < tmax) & jnp.any(live)
+
+    def sweep_body(carry):
+        x, q, t, converged, niters = carry
+        live = (~converged) & (t < col_maxniters)  # (B,)
+        # exact q at sweep start: one MXU matmul kills f32 drift
+        # (HIGHEST => true f32 accumulation on TPU, not bf16 passes)
+        q = jnp.dot(x, G, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+        if shuffle:
+            perm = jax.random.permutation(jax.random.fold_in(key, t), n)
+        else:
+            perm = jnp.arange(n)
+
+        def coord_body(c, inner):
+            x, q, dltx = inner
+            i = perm[c]
+            Grow = jax.lax.dynamic_slice_in_dim(G, i, 1, axis=0)[0]      # (n,)
+            gcol = jax.lax.dynamic_slice_in_dim(gj, i, 1, axis=1)[:, 0]  # (B,)
+            qcol = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]
+            xcol = jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)[:, 0]
+            acol = jax.lax.dynamic_slice_in_dim(active, i, 1, axis=1)[:, 0]
+            di = diag[i]
+            num = gcol - qcol + di * xcol
+            cand = jnp.where(num > l1r, (num - l1r) / (di + l2r),
+                             jnp.zeros((), f32))
+            newx = jnp.where(acol & live, cand, xcol)
+            delta = newx - xcol
+            q = q + delta[:, None] * Grow[None, :]
+            x = jax.lax.dynamic_update_slice_in_dim(
+                x, newx[:, None], i, axis=1)
+            return x, q, dltx + delta * delta
+
+        x, q, dltx = jax.lax.fori_loop(
+            0, n, coord_body, (x, q, jnp.zeros(B, f32)))
+        converged = converged | (live & (dltx < optTol))
+        niters = niters + live.astype(jnp.int32)
+        return x, q, t + 1, converged, niters
+
+    q0 = jnp.dot(x0, G, preferred_element_type=f32,
+                 precision=jax.lax.Precision.HIGHEST)
+    x, q, t, converged, niters = jax.lax.while_loop(
+        sweep_cond, sweep_body,
+        (x0, q0, jnp.zeros((), jnp.int32), jnp.zeros(B, bool),
+         jnp.zeros(B, jnp.int32)))
+
+    # final exact q for the residual/objective (estimate.c:477-489):
+    # ||y - Ax||² = yᵀy - 2 xᵀ(Aᵀy) + xᵀ G x
+    q = jnp.dot(x, G, preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+    rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1) + jnp.sum(x * q, axis=1))
+    obj = rnorm + jnp.sum(0.5 * l2r * x * x + l1r * jnp.abs(x), axis=1)
+    return x, niters, converged, rnorm, obj

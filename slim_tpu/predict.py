@@ -1,0 +1,170 @@
+"""Top-N prediction.
+
+TPU-native replacement for src/libslim/predict.c: instead of the per-user
+marker/candidate scalar loops, user histories are fed as padded index/value
+blocks, model rows are gathered from the dense-ified W and reduced on
+device, history items are masked out, and ``lax.top_k`` produces the list.
+
+Scoring parity (predict.c:40-58): score(k) = Σ_{i in history} rating_i ·
+W[i,k]; items not reachable through any model row never become candidates,
+so a user can receive fewer than N recommendations (nrcmds = min(ncand, N),
+predict.c:62).  With nonnegative models and ratings this is equivalent to
+"score > 0", which is how the dense path detects candidacy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from .types import CSR
+
+NEG_INF = np.float32(-np.inf)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("nrcmds",))
+def _score_topn_block(W, hist_idx, hist_val, nrcmds):
+    """Score one user block and return its top-N.
+
+    W : (npad, npad) dense model, rows = rated item, cols = candidate.
+    hist_idx : (U, H) int32 item ids, -1 padding (mapped to the zero row).
+    hist_val : (U, H) f32 ratings (0 padding).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    npad = W.shape[0]
+    safe_idx = jnp.where(hist_idx >= 0, hist_idx, npad - 1)  # zero row
+    rows = W[safe_idx]                        # (U, H, npad) gather
+    scores = jnp.einsum("uh,uhn->un", hist_val, rows)
+    # mask history items (marker = -2, predict.c:33-37)
+    U = hist_idx.shape[0]
+    mask = jnp.zeros((U, npad), bool).at[
+        jnp.arange(U)[:, None], safe_idx].max(hist_idx >= 0)
+    scores = jnp.where(mask, NEG_INF, scores)
+    ncand = jnp.sum(scores > 0, axis=1)
+    top_scores, top_ids = jax.lax.top_k(scores, nrcmds)
+    counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
+    valid = jnp.arange(nrcmds)[None, :] < counts[:, None]
+    top_ids = jnp.where(valid, top_ids, -1)
+    top_scores = jnp.where(valid, top_scores, 0.0)
+    return top_ids.astype(jnp.int32), top_scores, counts
+
+
+def densify_model(model: CSR, npad: int | None = None):
+    """Dense device copy of the model, padded with a zero row/col."""
+    import jax.numpy as jnp
+
+    n = max(model.nrows, model.ncols)
+    npad = npad if npad is not None else _round_up(n + 1, 128)
+    W = np.zeros((npad, npad), dtype=np.float32)
+    rows = np.repeat(np.arange(model.nrows), model.row_nnz().astype(np.int64))
+    W[rows, model.indices] = model.values()
+    return jnp.asarray(W)
+
+
+def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
+                 user_block: int = 1024, W_dev=None):
+    """Batch top-N for every user row of ``hist``.
+
+    Returns (ids (nusers, nrcmds) int32 with -1 padding,
+             scores (nusers, nrcmds) f32,
+             counts (nusers,) int32).
+    Mirrors Py_SLIM_Predict (pyapi.c:530-563) which loops SLIM_GetTopN over
+    all rows.
+    """
+    import jax.numpy as jnp
+
+    n = max(model.nrows, model.ncols, hist.ncols)
+    npad = _round_up(n + 1, 128)
+    W = W_dev if W_dev is not None else densify_model(model, npad)
+
+    nusers = hist.nrows
+    H = max(int(hist.row_nnz().max()) if nusers else 1, 1)
+    ids = np.full((nusers, nrcmds), -1, dtype=np.int32)
+    scores = np.zeros((nusers, nrcmds), dtype=np.float32)
+    counts = np.zeros(nusers, dtype=np.int32)
+
+    hidx, hval = hist.padded_rows(width=H)
+    # clamp out-of-range history ids (predict.c:35 guards id < ncols)
+    hidx = np.where(hidx >= n, -1, hidx)
+    if hist.data is None:
+        hval = (hidx >= 0).astype(np.float32)
+
+    ub = min(user_block, max(nusers, 1))
+    for u0 in range(0, nusers, ub):
+        u1 = min(u0 + ub, nusers)
+        bi = np.full((ub, H), -1, dtype=np.int32)
+        bv = np.zeros((ub, H), dtype=np.float32)
+        bi[:u1 - u0] = hidx[u0:u1]
+        bv[:u1 - u0] = hval[u0:u1]
+        tid, tsc, tct = _score_topn_block(W, jnp.asarray(bi), jnp.asarray(bv),
+                                          nrcmds)
+        ids[u0:u1] = np.asarray(tid)[:u1 - u0]
+        scores[u0:u1] = np.asarray(tsc)[:u1 - u0]
+        counts[u0:u1] = np.asarray(tct)[:u1 - u0]
+    return ids, scores, counts
+
+
+def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
+                      nrcmds: int = 10, W_dev=None, user_block: int = 1024):
+    """1-vs-k candidate-restricted prediction (GetRec_1vsk,
+    predict.c:77-133).
+
+    ``negitems`` is (nusers, nnegs) int32; out-of-range ids keep score 0 but
+    still occupy candidate slots (predict.c:97-106).  History items are NOT
+    excluded from the candidate set (marker only protects non-candidates).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = max(model.nrows, model.ncols, hist.ncols)
+    npad = _round_up(n + 1, 128)
+    W = W_dev if W_dev is not None else densify_model(model, npad)
+
+    nusers, nnegs = negitems.shape
+    H = max(int(hist.row_nnz().max()) if nusers else 1, 1)
+    hidx, hval = hist.padded_rows(width=H)
+    hidx = np.where(hidx >= n, -1, hidx)
+    if hist.data is None:
+        hval = (hidx >= 0).astype(np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def block(Wm, bi, bv, cand, k):
+        safe_idx = jnp.where(bi >= 0, bi, npad - 1)
+        rows = Wm[safe_idx]
+        scores = jnp.einsum("uh,uhn->un", bv, rows)     # (U, npad)
+        safe_cand = jnp.clip(cand, 0, npad - 1)
+        in_range = (cand >= 0) & (cand < n)
+        cscores = jnp.where(
+            in_range,
+            jnp.take_along_axis(scores, safe_cand, axis=1),
+            0.0)                                         # (U, nnegs)
+        kk = min(k, nnegs)
+        top_sc, top_pos = jax.lax.top_k(cscores, kk)
+        top_ids = jnp.take_along_axis(cand, top_pos, axis=1)
+        return top_ids.astype(jnp.int32), top_sc
+
+    ids = np.full((nusers, min(nrcmds, nnegs)), -1, dtype=np.int32)
+    scores = np.zeros((nusers, min(nrcmds, nnegs)), dtype=np.float32)
+    ub = min(user_block, max(nusers, 1))
+    for u0 in range(0, nusers, ub):
+        u1 = min(u0 + ub, nusers)
+        bi = np.full((ub, H), -1, dtype=np.int32)
+        bv = np.zeros((ub, H), dtype=np.float32)
+        cd = np.full((ub, nnegs), -1, dtype=np.int32)
+        bi[:u1 - u0] = hidx[u0:u1]
+        bv[:u1 - u0] = hval[u0:u1]
+        cd[:u1 - u0] = negitems[u0:u1]
+        tid, tsc = block(W, jnp.asarray(bi), jnp.asarray(bv), jnp.asarray(cd),
+                         nrcmds)
+        ids[u0:u1] = np.asarray(tid)[:u1 - u0]
+        scores[u0:u1] = np.asarray(tsc)[:u1 - u0]
+    counts = np.full(nusers, ids.shape[1], dtype=np.int32)
+    return ids, scores, counts

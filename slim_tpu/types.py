@@ -1,0 +1,201 @@
+"""Sparse matrix containers for slim_tpu.
+
+The host-side container is a plain CSR triple (numpy arrays).  Device-side
+views (dense blocks, padded-row form) are derived on demand by the ops layer;
+nothing in here touches JAX so that IO and CLI tools stay importable without
+initialising a TPU backend.
+
+Reference parity: mirrors the capabilities of the reference's ``gk_csr_t``
+(see /root/reference/src/libslim/setup.c:109-135 for the training-matrix
+setup semantics: column index, column 2-norms, sorted indices) without
+copying its layout; we keep a single canonical CSR and build the CSC view
+lazily.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["CSR"]
+
+
+@dataclasses.dataclass
+class CSR:
+    """A compressed-sparse-row matrix.
+
+    ``data is None`` means an implicit all-ones matrix (the reference models
+    binarized/implicit feedback by freeing ``rowval``; we model it the same
+    way so downstream code can skip multiplies).
+
+    ``indptr`` is int64 (the reference uses ``ssize_t`` rowptr, slim.h:108)
+    so nnz > 2^31 works; ``indices`` is int32; ``data`` float32.
+    """
+
+    nrows: int
+    ncols: int
+    indptr: np.ndarray  # int64, shape (nrows+1,)
+    indices: np.ndarray  # int32, shape (nnz,)
+    data: Optional[np.ndarray]  # float32, shape (nnz,) or None (implicit 1.0)
+
+    # lazily-built CSC view + column norms (cached)
+    _csc: Optional["CSR"] = dataclasses.field(default=None, repr=False)
+    _cnorms: Optional[np.ndarray] = dataclasses.field(default=None, repr=False)
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def from_arrays(nrows, ncols, indptr, indices, data=None) -> "CSR":
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(indices, dtype=np.int32)
+        if data is not None:
+            data = np.ascontiguousarray(data, dtype=np.float32)
+        return CSR(int(nrows), int(ncols), indptr, indices, data)
+
+    @staticmethod
+    def from_scipy(mat) -> "CSR":
+        m = mat.tocsr()
+        return CSR.from_arrays(m.shape[0], m.shape[1], m.indptr, m.indices, m.data)
+
+    @staticmethod
+    def from_ijv(rows, cols, vals, nrows=None, ncols=None) -> "CSR":
+        """Build from COO triplets (duplicates summed, like scipy)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float32)
+        if nrows is None:
+            nrows = int(rows.max()) + 1 if rows.size else 0
+        if ncols is None:
+            ncols = int(cols.max()) + 1 if cols.size else 0
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        counts = np.bincount(rows, minlength=nrows).astype(np.int64)
+        indptr = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSR.from_arrays(nrows, ncols, indptr, cols.astype(np.int32), vals)
+
+    @staticmethod
+    def empty(nrows: int, ncols: int) -> "CSR":
+        return CSR.from_arrays(
+            nrows, ncols, np.zeros(nrows + 1, np.int64), np.zeros(0, np.int32),
+            np.zeros(0, np.float32))
+
+    # ------------------------------------------------------------------ #
+    # basic properties
+    # ------------------------------------------------------------------ #
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    def row_nnz(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def values(self) -> np.ndarray:
+        """Materialised values (ones if implicit)."""
+        if self.data is not None:
+            return self.data
+        return np.ones(self.nnz, dtype=np.float32)
+
+    # ------------------------------------------------------------------ #
+    # transforms
+    # ------------------------------------------------------------------ #
+    def binarize(self) -> "CSR":
+        """Drop ratings (reference: frees rowval, slim_learn.c:47-48)."""
+        return CSR.from_arrays(self.nrows, self.ncols, self.indptr, self.indices, None)
+
+    def with_ncols(self, ncols: int) -> "CSR":
+        """Widen the column dimension (mselect aligns trn/tst ncols)."""
+        if ncols == self.ncols:
+            return self
+        out = CSR.from_arrays(self.nrows, ncols, self.indptr, self.indices, self.data)
+        return out
+
+    def infer_ncols(self) -> "CSR":
+        """ncols = max(col index)+1 (reference setup.c:117)."""
+        ncols = int(self.indices.max()) + 1 if self.indices.size else 0
+        return self.with_ncols(max(ncols, self.ncols))
+
+    def sort_indices(self) -> "CSR":
+        """Sort column indices within each row (reference setup.c:19-94)."""
+        m = self.to_scipy()
+        m.sort_indices()
+        return CSR.from_arrays(self.nrows, self.ncols, m.indptr, m.indices,
+                               None if self.data is None else m.data)
+
+    def transpose(self) -> "CSR":
+        """CSC view as a CSR of the transpose (cached).
+
+        Equivalent of ``gk_csr_CreateIndex(mat, GK_CSR_COL)`` +
+        ``slim_csr_SortIndices`` (setup.c:128-132): within each column the
+        row indices come out sorted ascending.
+        """
+        if self._csc is None:
+            indptr = np.zeros(self.ncols + 1, dtype=np.int64)
+            counts = np.bincount(self.indices, minlength=self.ncols)
+            np.cumsum(counts, out=indptr[1:])
+            # stable counting sort by column => row indices sorted per column
+            order = np.argsort(self.indices, kind="stable")
+            rows = np.repeat(
+                np.arange(self.nrows, dtype=np.int32), self.row_nnz().astype(np.int64))
+            tind = rows[order]
+            tdat = None if self.data is None else self.data[order]
+            self._csc = CSR.from_arrays(self.ncols, self.nrows, indptr, tind, tdat)
+            self._csc._csc = self  # transpose of transpose
+        return self._csc
+
+    def column_norms(self) -> np.ndarray:
+        """Column 2-norms (reference ``gk_csr_ComputeNorms(mat, GK_CSR_COL)``,
+        setup.c:130; used as ``cnorms`` with ``aTa*aTa`` = squared norm in
+        cd.c:119-127)."""
+        if self._cnorms is None:
+            sq = np.square(self.values(), dtype=np.float64)
+            sums = np.zeros(self.ncols, dtype=np.float64)
+            np.add.at(sums, self.indices, sq)
+            self._cnorms = np.sqrt(sums).astype(np.float32)
+        return self._cnorms
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (self.values(), self.indices, self.indptr), shape=(self.nrows, self.ncols))
+
+    def to_dense(self, dtype=np.float32) -> np.ndarray:
+        out = np.zeros((self.nrows, self.ncols), dtype=dtype)
+        rows = np.repeat(np.arange(self.nrows), self.row_nnz().astype(np.int64))
+        out[rows, self.indices] = self.values()
+        return out
+
+    # ------------------------------------------------------------------ #
+    # padded-row (ELL-ish) device form
+    # ------------------------------------------------------------------ #
+    def padded_rows(self, width: Optional[int] = None, pad_index: int = -1):
+        """Return (indices, values) as dense (nrows, width) arrays padded with
+        ``pad_index`` / 0.0.  Used to feed user histories to device kernels
+        with static shapes."""
+        nnz_per_row = self.row_nnz().astype(np.int64)
+        w = int(width if width is not None else (nnz_per_row.max() if self.nrows else 0))
+        idx = np.full((self.nrows, w), pad_index, dtype=np.int32)
+        val = np.zeros((self.nrows, w), dtype=np.float32)
+        if self.nnz:
+            rows = np.repeat(np.arange(self.nrows, dtype=np.int64), nnz_per_row)
+            pos = np.arange(self.nnz, dtype=np.int64) - self.indptr[rows]
+            keep = pos < w
+            idx[rows[keep], pos[keep]] = self.indices[keep]
+            val[rows[keep], pos[keep]] = self.values()[keep]
+        return idx, val
+
+    def __eq__(self, other):
+        if not isinstance(other, CSR):
+            return NotImplemented
+        return (self.shape == other.shape
+                and np.array_equal(self.indptr, other.indptr)
+                and np.array_equal(self.indices, other.indices)
+                and np.allclose(self.values(), other.values()))

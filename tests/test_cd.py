@@ -1,0 +1,170 @@
+"""CD solver correctness vs an independent float64 numpy oracle.
+
+The SLIM per-column problem (SURVEY.md §0; estimate.c:477-489 objective)
+
+    min_{x >= 0, x_j = 0}  1/2||y - Ax||² + l2r/2||x||² + l1r||x||_1
+    restricted to the active set {i != j : aᵢᵀy > l1r}
+
+is strongly convex for l2r > 0, so any converged solver must agree on x.
+The oracle below works directly on the dense matrix in f64 with the
+classic residual-maintenance form -- deliberately a different formulation
+from the production Gram-based kernel.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import random_csr
+from slim_tpu.config import SlimConfig
+from slim_tpu.solvers.cd import estimate_model_cd
+from slim_tpu.types import CSR
+
+
+def oracle_column(A, j, l1r, l2r, optTol=1e-10, maxniters=10000,
+                  active_override=None):
+    """f64 cyclic CD on the dense matrix; returns the exact solution."""
+    n = A.shape[1]
+    y = A[:, j].astype(np.float64)
+    aty = A.T.astype(np.float64) @ y
+    if active_override is None:
+        active = [i for i in range(n) if aty[i] > l1r and i != j]
+    else:
+        active = [i for i in active_override if i != j]
+    x = np.zeros(n)
+    yhat = np.zeros_like(y)
+    nnzj = int(np.count_nonzero(y))
+    cap = min(50 * nnzj, maxniters)
+    for _ in range(cap):
+        dltx = 0.0
+        for i in active:
+            a = A[:, i].astype(np.float64)
+            yhat -= x[i] * a
+            num = aty[i] - a @ yhat
+            newx = (num - l1r) / (a @ a + l2r) if num > l1r else 0.0
+            yhat += newx * a
+            dltx += (newx - x[i]) ** 2
+            x[i] = newx
+        if dltx < optTol:
+            break
+    return x
+
+
+def oracle_objective(A, x, j, l1r, l2r):
+    y = A[:, j].astype(np.float64)
+    r = y - A.astype(np.float64) @ x
+    return (0.5 * r @ r + 0.5 * l2r * x @ x + l1r * np.abs(x).sum())
+
+
+@pytest.mark.parametrize("l1r,l2r", [(0.5, 0.5), (1.0, 1.0), (0.1, 2.0)])
+def test_cd_matches_oracle_small(l1r, l2r):
+    rng = np.random.default_rng(42)
+    A_dense = (rng.random((30, 12)) < 0.4).astype(np.float32) * \
+        rng.integers(1, 4, (30, 12)).astype(np.float32)
+    mat = CSR.from_scipy(sp.csr_matrix(A_dense))
+    cfg = SlimConfig(l1r=l1r, l2r=l2r, optTol=1e-12, block_size=4,
+                     shuffle=False)
+    model, stats = estimate_model_cd(mat, cfg)
+    W = model.to_scipy().toarray()
+
+    for j in range(12):
+        x_ref = oracle_column(A_dense, j, l1r, l2r)
+        np.testing.assert_allclose(W[:, j], x_ref, atol=2e-4,
+                                   err_msg=f"column {j}")
+        # objective agreement (stronger than pointwise x)
+        obj_ours = oracle_objective(A_dense, W[:, j].astype(np.float64), j,
+                                    l1r, l2r)
+        obj_ref = oracle_objective(A_dense, x_ref, j, l1r, l2r)
+        assert obj_ours <= obj_ref * (1 + 1e-4) + 1e-6
+
+
+def test_cd_shuffled_same_optimum():
+    """Shuffled and cyclic coordinate order converge to the same optimum."""
+    rng = np.random.default_rng(7)
+    mat = random_csr(rng, 40, 16, density=0.35)
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, block_size=8)
+    m_shuf, _ = estimate_model_cd(mat, cfg.replace(shuffle=True))
+    m_cyc, _ = estimate_model_cd(mat, cfg.replace(shuffle=False))
+    np.testing.assert_allclose(m_shuf.to_scipy().toarray(),
+                               m_cyc.to_scipy().toarray(), atol=5e-4)
+
+
+def test_cd_zero_diagonal_and_nonneg():
+    rng = np.random.default_rng(3)
+    mat = random_csr(rng, 50, 20, density=0.3)
+    model, _ = estimate_model_cd(mat, SlimConfig(l1r=0.2, l2r=0.5))
+    W = model.to_scipy().toarray()
+    assert np.all(np.diag(W) == 0), "zero-diagonal constraint violated"
+    assert np.all(W >= 0), "nonnegativity violated"
+    assert model.nnz > 0
+
+
+def test_cd_implicit_data():
+    """Implicit (values=None) matrices behave like all-ones values."""
+    rng = np.random.default_rng(11)
+    mat = random_csr(rng, 40, 15, density=0.3, implicit=True)
+    ones = CSR.from_arrays(mat.nrows, mat.ncols, mat.indptr, mat.indices,
+                           np.ones(mat.nnz, np.float32))
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, shuffle=False)
+    m_imp, _ = estimate_model_cd(mat, cfg)
+    m_one, _ = estimate_model_cd(ones, cfg)
+    np.testing.assert_allclose(m_imp.to_scipy().toarray(),
+                               m_one.to_scipy().toarray(), atol=1e-5)
+
+
+def test_cd_warm_start_same_optimum_fewer_iters():
+    rng = np.random.default_rng(5)
+    mat = random_csr(rng, 60, 24, density=0.3)
+    cfg = SlimConfig(l1r=0.4, l2r=0.6, optTol=1e-12, shuffle=False)
+    cold, stats_cold = estimate_model_cd(mat, cfg)
+    warm, stats_warm = estimate_model_cd(mat, cfg, imodel=cold)
+    np.testing.assert_allclose(cold.to_scipy().toarray(),
+                               warm.to_scipy().toarray(), atol=5e-4)
+    assert stats_warm["niters"] <= stats_cold["niters"]
+
+
+def test_cd_large_l1_empty_model():
+    rng = np.random.default_rng(9)
+    mat = random_csr(rng, 30, 10, density=0.3)
+    model, stats = estimate_model_cd(mat, SlimConfig(l1r=1e9, l2r=1.0))
+    assert model.nnz == 0
+    # all residual, no fit: loss == fit == sum of 1/2||y_j||²
+    cn = mat.column_norms().astype(np.float64)
+    np.testing.assert_allclose(stats["fit"], 0.5 * np.sum(cn ** 2), rtol=1e-5)
+
+
+def test_fslim_restricts_support():
+    rng = np.random.default_rng(13)
+    mat = random_csr(rng, 50, 20, density=0.4)
+    nnbrs = 3
+    cfg = SlimConfig(l1r=0.1, l2r=0.5, nnbrs=nnbrs, simtype="cos",
+                     optTol=1e-12, shuffle=False)
+    assert cfg.mtype == "fslim"
+    model, _ = estimate_model_cd(mat, cfg)
+    W = model.to_scipy().toarray()
+    assert np.all((W > 0).sum(axis=0) <= nnbrs)
+
+    # verify the neighbour selection matches the reference formula:
+    # cos sim = a_k . a_j / ||a_k|| over co-rated candidates
+    A = mat.to_dense().astype(np.float64)
+    G = A.T @ A
+    cn = np.sqrt(np.diag(G))
+    for j in range(20):
+        support = np.nonzero(W[:, j])[0]
+        if len(support) == 0:
+            continue
+        sim = np.where((G[:, j] > 0) & (cn > 0), G[:, j] / np.maximum(cn, 1e-30),
+                       -np.inf)
+        sim[j] = -np.inf
+        top = set(np.argsort(-sim)[:nnbrs])
+        assert set(support) <= top, f"col {j}: support {support} not in top {top}"
+
+    # and the solution on that support matches the restricted oracle
+    for j in range(20):
+        sim = np.where(G[:, j] > 0, G[:, j] / np.maximum(cn, 1e-30), -np.inf)
+        sim[j] = -np.inf
+        order = np.argsort(-sim)
+        top = [i for i in order[:nnbrs] if np.isfinite(sim[i])]
+        x_ref = oracle_column(mat.to_dense(), j, 0.1, 0.5,
+                              active_override=top)
+        np.testing.assert_allclose(W[:, j], x_ref, atol=5e-4)

@@ -1,0 +1,68 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh
+(conftest forces xla_force_host_platform_device_count=8)."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import random_csr
+from slim_tpu.config import SlimConfig
+from slim_tpu.parallel.mesh import make_mesh, default_mesh_shape
+from slim_tpu.parallel.dist import (distributed_learn, sharded_learn_step,
+                                    sharded_predict)
+from slim_tpu.predict import predict_topn
+from slim_tpu.solvers.cd import estimate_model_cd
+
+
+def test_mesh_shapes():
+    assert default_mesh_shape(8) == (2, 4)
+    assert default_mesh_shape(4) == (2, 2)
+    assert default_mesh_shape(1) == (1, 1)
+    assert default_mesh_shape(6) == (2, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_matches_single_device(rng):
+    mat = random_csr(rng, 64, 40, density=0.25, seed=77)
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, block_size=8,
+                     shuffle=False)
+    mesh = make_mesh(8)
+    dist_model, dist_stats = distributed_learn(mat, cfg, mesh)
+    single_model, single_stats = estimate_model_cd(mat, cfg)
+    np.testing.assert_allclose(dist_model.to_scipy().toarray(),
+                               single_model.to_scipy().toarray(), atol=5e-4)
+    np.testing.assert_allclose(dist_stats["fit"], single_stats["fit"],
+                               rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_learn_step_compiles_and_runs():
+    mesh = make_mesh(8)
+    step = sharded_learn_step(mesh, l1r=0.5, l2r=0.5)
+    npad, B = 128, 2
+    S = 8 * B
+    rng = np.random.default_rng(0)
+    a = (rng.random((16, npad)) < 0.3).astype(np.float32)
+    a[:, 100:] = 0
+    j = np.arange(S, dtype=np.int32)
+    caps = np.full(S, 50, dtype=np.int32)
+    x_all, err, obj = step(a, j, caps, 0)
+    assert x_all.shape == (S, npad)
+    assert np.isfinite(float(err)) and np.isfinite(float(obj))
+    x_host = np.asarray(x_all)
+    assert np.all(x_host >= 0)
+    # zero-diagonal: column b never uses coordinate j[b]
+    for b in range(S):
+        assert x_host[b, j[b]] == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_predict_matches_single(rng):
+    mat = random_csr(rng, 50, 30, density=0.3, seed=5)
+    cfg = SlimConfig(l1r=0.3, l2r=0.5)
+    model, _ = estimate_model_cd(mat, cfg)
+    mesh = make_mesh(8)
+    ids_d, sc_d, ct_d = sharded_predict(model, mat, mesh, nrcmds=5)
+    ids_s, sc_s, ct_s = predict_topn(model, mat, nrcmds=5)
+    np.testing.assert_array_equal(ct_d, ct_s)
+    np.testing.assert_allclose(sc_d, sc_s, rtol=1e-5)

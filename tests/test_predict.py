@@ -1,0 +1,107 @@
+import numpy as np
+
+from conftest import random_csr
+from slim_tpu.predict import predict_topn, predict_topn_1vsk
+from slim_tpu.types import CSR
+
+
+def reference_scores(model_dense, hist_idx, hist_val):
+    """Scalar re-statement of GetRecommendations scoring (predict.c:40-58)."""
+    n = model_dense.shape[1]
+    scores = np.zeros(n)
+    for i, v in zip(hist_idx, hist_val):
+        scores += v * model_dense[i]
+    return scores
+
+
+def test_predict_matches_reference_scoring(rng):
+    n = 12
+    W = (rng.random((n, n)) < 0.3) * rng.random((n, n)).astype(np.float32)
+    np.fill_diagonal(W, 0)
+    rows, cols = np.nonzero(W)
+    model = CSR.from_ijv(rows, cols, W[rows, cols], nrows=n, ncols=n)
+
+    hist = random_csr(rng, 6, n, density=0.3)
+    ids, scores, counts = predict_topn(model, hist, nrcmds=5)
+
+    for u in range(6):
+        hidx = hist.indices[hist.indptr[u]:hist.indptr[u + 1]]
+        hval = hist.values()[hist.indptr[u]:hist.indptr[u + 1]]
+        ref = reference_scores(W, hidx, hval)
+        ref[hidx] = -np.inf  # history exclusion
+        ncand = int(np.sum(ref > 0))
+        expect_k = min(ncand, 5)
+        assert counts[u] == expect_k
+        order = np.argsort(-ref)
+        for r in range(expect_k):
+            # ids match modulo ties; verify by score
+            np.testing.assert_allclose(scores[u, r], ref[order[r]], rtol=1e-5)
+        assert np.all(ids[u, expect_k:] == -1)
+
+
+def test_predict_excludes_history(rng):
+    n = 8
+    W = np.ones((n, n), dtype=np.float32)
+    np.fill_diagonal(W, 0)
+    rows, cols = np.nonzero(W)
+    model = CSR.from_ijv(rows, cols, W[rows, cols], nrows=n, ncols=n)
+    hist = CSR.from_ijv([0, 0, 0], [1, 2, 3], [1.0, 1.0, 1.0], nrows=1, ncols=n)
+    ids, scores, counts = predict_topn(model, hist, nrcmds=n)
+    got = set(ids[0, :counts[0]].tolist())
+    assert got.isdisjoint({1, 2, 3})
+
+
+def test_predict_implicit_history(rng):
+    n = 10
+    W = rng.random((n, n)).astype(np.float32)
+    np.fill_diagonal(W, 0)
+    rows, cols = np.nonzero(W)
+    model = CSR.from_ijv(rows, cols, W[rows, cols], nrows=n, ncols=n)
+    hist_e = random_csr(rng, 4, n, density=0.4)
+    ones = CSR.from_arrays(4, n, hist_e.indptr, hist_e.indices,
+                           np.ones(hist_e.nnz, np.float32))
+    imp = hist_e.binarize()
+    ids_a, sc_a, _ = predict_topn(model, ones, nrcmds=4)
+    ids_b, sc_b, _ = predict_topn(model, imp, nrcmds=4)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-6)
+
+
+def test_predict_1vsk(rng):
+    n = 15
+    W = (rng.random((n, n)) < 0.5) * rng.random((n, n)).astype(np.float32)
+    np.fill_diagonal(W, 0)
+    rows, cols = np.nonzero(W)
+    model = CSR.from_ijv(rows, cols, W[rows, cols], nrows=n, ncols=n)
+    hist = random_csr(rng, 3, n, density=0.4)
+
+    neg = np.array([[1, 5, 9, 13], [0, 2, 4, 6], [3, 7, 11, 14]],
+                   dtype=np.int32)
+    ids, scores, counts = predict_topn_1vsk(model, hist, neg, nrcmds=3)
+    for u in range(3):
+        hidx = hist.indices[hist.indptr[u]:hist.indptr[u + 1]]
+        hval = hist.values()[hist.indptr[u]:hist.indptr[u + 1]]
+        full = reference_scores(W, hidx, hval)
+        cand_scores = {int(c): full[c] for c in neg[u]}
+        best = sorted(cand_scores.items(), key=lambda kv: -kv[1])[:3]
+        got = [(int(i), float(s)) for i, s in zip(ids[u], scores[u])]
+        # candidates only; scores descending and matching
+        assert all(int(i) in set(neg[u].tolist()) for i, _ in got)
+        np.testing.assert_allclose(sorted([s for _, s in got], reverse=True),
+                                   [s for _, s in best], rtol=1e-5)
+
+
+def test_predict_1vsk_history_not_excluded(rng):
+    """GetRec_1vsk scores candidate items even when they are in the user's
+    history (predict.c:93-121: marker only shields non-candidates)."""
+    n = 6
+    W = np.ones((n, n), dtype=np.float32)
+    np.fill_diagonal(W, 0)
+    rows, cols = np.nonzero(W)
+    model = CSR.from_ijv(rows, cols, W[rows, cols], nrows=n, ncols=n)
+    hist = CSR.from_ijv([0, 0], [1, 2], [1.0, 1.0], nrows=1, ncols=n)
+    neg = np.array([[1, 4]], dtype=np.int32)  # item 1 is in history
+    ids, scores, counts = predict_topn_1vsk(model, hist, neg, nrcmds=2)
+    got = dict(zip(ids[0].tolist(), scores[0].tolist()))
+    assert 1 in got  # history item still a candidate
+    np.testing.assert_allclose(got[1], 1.0)  # only item2 contributes W[2,1]=1
+    np.testing.assert_allclose(got[4], 2.0)
