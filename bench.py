@@ -45,6 +45,10 @@ def load_workload():
     return CSR.from_ijv(users, items, vals, nrows, ncols), "synthetic-ml100k"
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def bench_tpu(train, repeats=3):
     from slim_tpu.api import learn
     from slim_tpu.config import SlimConfig
@@ -52,12 +56,16 @@ def bench_tpu(train, repeats=3):
     cfg = SlimConfig(l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
                      block_size=256)
     # warmup (compile)
+    t0 = time.perf_counter()
     learn(train, cfg)
+    log(f"[bench] warmup learn {time.perf_counter() - t0:.1f}s")
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
         model, stats = learn(train, cfg)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        log(f"[bench] learn repeat {r}: {dt:.2f}s")
+        best = min(best, dt)
     return train.infer_ncols().ncols / best, model, stats, best
 
 
@@ -66,6 +74,7 @@ def bench_cpu(train):
 
     if not native.available():
         return None, None
+    log("[bench] running native CPU baseline...")
     t0 = time.perf_counter()
     model, err, obj = native.cd_learn(
         train, l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
@@ -75,6 +84,12 @@ def bench_cpu(train):
 
 
 def main():
+    # persistent compile cache: repeat bench runs skip the (remote) TPU
+    # compilation of the solver kernels
+    from slim_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     train, name = load_workload()
     train = train.infer_ncols()
 

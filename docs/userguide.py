@@ -1,0 +1,100 @@
+"""slim_tpu user guide — executable walkthrough of every public API.
+
+Mirrors the coverage of the reference's python-package/UserGuide.ipynb:
+all four ingestion paths, train, save/load, predict, 1-vs-k predict,
+mselect, FSLIM, ADMM, and the scipy export.
+
+Run:  python docs/userguide.py   (uses synthetic data; ~1 min on CPU)
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+from slim_tpu import (SLIM, SLIMatrix, SlimConfig, learn, evaluate_topn,
+                      determine_head_tail, predict_topn)
+from slim_tpu.types import CSR
+
+rng = np.random.default_rng(0)
+
+# --------------------------------------------------------------------- #
+# 1. Ingestion: four equivalent ways to build a SLIMatrix
+# --------------------------------------------------------------------- #
+nusers, nitems = 120, 60
+dense = (rng.random((nusers, nitems)) < 0.15) * \
+    rng.integers(1, 6, (nusers, nitems))
+
+# (a) scipy CSR
+m_scipy = SLIMatrix(sp.csr_matrix(dense.astype(np.float32)))
+
+# (b) (user, item, rating) triplets as a list / ndarray
+rows, cols = np.nonzero(dense)
+triplets = np.stack([rows, cols, dense[rows, cols]], axis=1)
+m_tri = SLIMatrix(triplets)
+
+# (c) pandas DataFrame (same columns)
+try:
+    import pandas as pd
+
+    m_df = SLIMatrix(pd.DataFrame(triplets, columns=["u", "i", "r"]))
+except ImportError:
+    m_df = m_tri
+
+# (d) slim_tpu CSR directly
+m_csr = SLIMatrix(CSR.from_scipy(sp.csr_matrix(dense.astype(np.float32))))
+
+# --------------------------------------------------------------------- #
+# 2. Train (dict params use the reference's knob names)
+# --------------------------------------------------------------------- #
+model = SLIM()
+model.train({"l1r": 0.5, "l2r": 1.0, "optTol": 1e-7, "niters": 1000}, m_scipy)
+
+# --------------------------------------------------------------------- #
+# 3. Predict top-N (history items are never recommended)
+# --------------------------------------------------------------------- #
+topn = model.predict(m_scipy, nrcmds=5)
+print("user 0 recommendations:", topn[0])
+
+# 1-vs-k: score only a supplied candidate list per user
+negitems = {u: rng.choice(nitems, size=8, replace=False).tolist()
+            for u in range(nusers)}
+top1vsk = model.predict(m_scipy, nrcmds=5, negitems=negitems, nnegs=8)
+
+# --------------------------------------------------------------------- #
+# 4. Save / load round-trip (+ item-map sidecar, core.py:615-655 parity)
+# --------------------------------------------------------------------- #
+model.save_model("/tmp/slim_demo.model", "/tmp/slim_demo.map")
+m2 = SLIM()
+m2.load_model("/tmp/slim_demo.model", "/tmp/slim_demo.map")
+
+# scipy export
+W, item_map = m2.to_csr(returnmap=True)
+print("model:", W.shape, "nnz", W.nnz)
+
+# --------------------------------------------------------------------- #
+# 5. Model selection: warm-started grid sharing one Gram matrix
+# --------------------------------------------------------------------- #
+test_dense = (rng.random((nusers, nitems)) < 0.03) * 1.0
+m_test = SLIMatrix(sp.csr_matrix(test_dense.astype(np.float32)))
+res = model.mselect({"optTol": 1e-7}, m_scipy, m_test,
+                    arrayl1=[0.1, 1.0], arrayl2=[0.5, 2.0], nrcmds=5)
+print("best HR point:", res["bestl1HR"], res["bestl2HR"], res["bestHRHR"])
+
+# --------------------------------------------------------------------- #
+# 6. FSLIM (neighbour-restricted) and ADMM variants
+# --------------------------------------------------------------------- #
+fslim = SLIM()
+fslim.train({"l1r": 0.5, "l2r": 1.0, "nnbrs": 10, "simtype": "cos"}, m_scipy)
+
+admm = SLIM()
+admm.train({"l1r": 1.0, "l2r": 1.0, "algo": "admm"}, m_scipy)
+
+# --------------------------------------------------------------------- #
+# 7. Functional API + explicit evaluation
+# --------------------------------------------------------------------- #
+train_csr = CSR.from_scipy(sp.csr_matrix(dense.astype(np.float32)))
+test_csr = CSR.from_scipy(sp.csr_matrix(test_dense.astype(np.float32)))
+mdl, stats = learn(train_csr, SlimConfig(l1r=0.5, l2r=1.0))
+ids, scores, counts = predict_topn(mdl, train_csr, nrcmds=10)
+fmarker = determine_head_tail(train_csr)
+print(evaluate_topn(ids, counts, test_csr, fmarker))
+print("objective:", stats["loss"])

@@ -43,6 +43,9 @@ def learn(train: CSR, cfg: Optional[SlimConfig] = None,
     Equivalent of SLIM_Learn (api.c:33-96): setup + dispatch to the CD or
     ADMM solver, with wall-clock phase timers under dbglvl & TIME.
     """
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = cfg or SlimConfig()
     t_total = time.perf_counter()
     tmat = setup_training_matrix(train)

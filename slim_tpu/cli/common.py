@@ -48,6 +48,9 @@ def add_common_matrix_flags(parser):
 def setup_logging(dbglvl: int):
     logging.basicConfig(level=logging.INFO, format="%(message)s",
                         stream=sys.stdout, force=True)
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def banner(version: str = "2.0-tpu"):

@@ -65,6 +65,7 @@ class SlimConfig:
     block_size: int = 256       # item columns solved per device batch
     solver_dtype: str = "float32"
     gram: str = "auto"          # "auto" | "device" | "host"
+    kernel: str = "auto"        # "auto" | "pallas" | "xla"
     shuffle: bool = True        # shuffled coordinate order per sweep (cd.c:115)
     donate_gram: bool = False
 

@@ -61,7 +61,8 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
 
     fmarker = determine_head_tail(train, ncols)
 
-    npad = _round_up(ncols + 1, 128)
+    from .solvers.cd import bucket_npad
+    npad = bucket_npad(ncols)
     gram = compute_gram(train, cfg.gram, pad_to=npad)
 
     results = []

@@ -65,10 +65,10 @@ def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype"))
+    jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype", "impl"))
 def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
                        l1r, l2r, optTol, seed, shuffle=True,
-                       fslim_nnbrs=0, simtype="cos"):
+                       fslim_nnbrs=0, simtype="cos", impl="xla"):
     """Column-id entry point: derives gj / active-set / yty from G inside
     the compiled program (one compile for the whole learn loop -- per-block
     eager slicing would trigger separate compilations on remote-compile
@@ -87,6 +87,11 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
     else:
         active = (gj > l1r) & (cols[None, :] != j_ids[:, None])
     yty = jnp.take(diag, j_ids)
+    if impl == "pallas":
+        from .pallas_cd import pallas_solve_core
+
+        return pallas_solve_core(G, gj, diag, active, x0, col_maxniters,
+                                 yty, l1r, l2r, optTol, seed, shuffle=shuffle)
     return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
@@ -96,6 +101,9 @@ def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
                    l1r, l2r, optTol, seed, shuffle=True):
     return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
+
+
+CHUNK = 128  # coordinates per Gauss-Seidel chunk (VPU lane width)
 
 
 def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
@@ -136,6 +144,9 @@ def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
         live = (~converged) & (t < col_maxniters)
         return (t < tmax) & jnp.any(live)
 
+    nchunks = n // CHUNK
+    assert n % CHUNK == 0, "pad the coordinate dimension to a CHUNK multiple"
+
     def sweep_body(carry):
         x, q, t, converged, niters = carry
         live = (~converged) & (t < col_maxniters)  # (B,)
@@ -144,31 +155,71 @@ def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
         q = jnp.dot(x, G, preferred_element_type=f32,
                     precision=jax.lax.Precision.HIGHEST)
         if shuffle:
-            perm = jax.random.permutation(jax.random.fold_in(key, t), n)
+            # randomised visit order = shuffled chunk order x shuffled
+            # order within each chunk (shared across the block).  The
+            # reference shuffles the flat active list per column
+            # (cd.c:115); any decorrelated order serves the same purpose
+            # and the optimum is identical (strongly convex problem).
+            tkey = jax.random.fold_in(key, t)
+            chunk_perm = jax.random.permutation(tkey, nchunks)
+            inner_perm = jax.random.permutation(
+                jax.random.fold_in(tkey, 1), CHUNK)
         else:
-            perm = jnp.arange(n)
+            chunk_perm = jnp.arange(nchunks)
+            inner_perm = jnp.arange(CHUNK)
 
-        def coord_body(c, inner):
+        def chunk_body(cc, inner):
             x, q, dltx = inner
-            i = perm[c]
-            Grow = jax.lax.dynamic_slice_in_dim(G, i, 1, axis=0)[0]      # (n,)
-            gcol = jax.lax.dynamic_slice_in_dim(gj, i, 1, axis=1)[:, 0]  # (B,)
-            qcol = jax.lax.dynamic_slice_in_dim(q, i, 1, axis=1)[:, 0]
-            xcol = jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)[:, 0]
-            acol = jax.lax.dynamic_slice_in_dim(active, i, 1, axis=1)[:, 0]
-            di = diag[i]
-            num = gcol - qcol + di * xcol
-            cand = jnp.where(num > l1r, (num - l1r) / (di + l2r),
-                             jnp.zeros((), f32))
-            newx = jnp.where(acol & live, cand, xcol)
-            delta = newx - xcol
-            q = q + delta[:, None] * Grow[None, :]
-            x = jax.lax.dynamic_update_slice_in_dim(
-                x, newx[:, None], i, axis=1)
-            return x, q, dltx + delta * delta
+            base = chunk_perm[cc] * CHUNK
+            # local views for the Gauss-Seidel chunk (all contiguous)
+            Gloc = jax.lax.dynamic_slice(G, (base, 0), (CHUNK, G.shape[1]))
+            Gcc = jax.lax.dynamic_slice(Gloc, (0, base), (CHUNK, CHUNK))
+            gj_loc = jax.lax.dynamic_slice(gj, (0, base), (B, CHUNK))
+            a_loc = jax.lax.dynamic_slice(active, (0, base), (B, CHUNK))
+            x_loc = jax.lax.dynamic_slice(x, (0, base), (B, CHUNK))
+            q_loc = jax.lax.dynamic_slice(q, (0, base), (B, CHUNK))
+            d_loc = jax.lax.dynamic_slice(diag, (base,), (CHUNK,))
+
+            def run_chunk(args):
+                x, q, dltx, x_loc, q_loc = args
+                x_old = x_loc
+
+                def coord_body(ci, st):
+                    x_loc, q_loc = st
+                    i = inner_perm[ci]
+                    gcol = jax.lax.dynamic_slice(gj_loc, (0, i), (B, 1))[:, 0]
+                    qcol = jax.lax.dynamic_slice(q_loc, (0, i), (B, 1))[:, 0]
+                    xcol = jax.lax.dynamic_slice(x_loc, (0, i), (B, 1))[:, 0]
+                    acol = jax.lax.dynamic_slice(a_loc, (0, i), (B, 1))[:, 0]
+                    di = jax.lax.dynamic_slice(d_loc, (i,), (1,))[0]
+                    num = gcol - qcol + di * xcol
+                    cand = jnp.where(num > l1r, (num - l1r) / (di + l2r),
+                                     jnp.zeros((), f32))
+                    newx = jnp.where(acol & live, cand, xcol)
+                    delta = newx - xcol
+                    # in-chunk Gauss-Seidel: only the local C-wide tile
+                    Grow = jax.lax.dynamic_slice(Gcc, (i, 0), (1, CHUNK))[0]
+                    q_loc = q_loc + delta[:, None] * Grow[None, :]
+                    x_loc = jax.lax.dynamic_update_slice(
+                        x_loc, newx[:, None], (0, i))
+                    return x_loc, q_loc
+
+                x_loc, q_loc = jax.lax.fori_loop(0, CHUNK, coord_body,
+                                                 (x_loc, q_loc))
+                dx = x_loc - x_old
+                # propagate the finished chunk to the global q on the MXU
+                q = q + jnp.dot(dx, Gloc, preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
+                x = jax.lax.dynamic_update_slice(x, x_loc, (0, base))
+                return x, q, dltx + jnp.sum(dx * dx, axis=1)
+
+            # skip chunks with no active coordinate in any live column
+            return jax.lax.cond(
+                jnp.any(a_loc & live[:, None]), run_chunk,
+                lambda args: args[:3], (x, q, dltx, x_loc, q_loc))
 
         x, q, dltx = jax.lax.fori_loop(
-            0, n, coord_body, (x, q, jnp.zeros(B, f32)))
+            0, nchunks, chunk_body, (x, q, jnp.zeros(B, f32)))
         converged = converged | (live & (dltx < optTol))
         niters = niters + live.astype(jnp.int32)
         return x, q, t + 1, converged, niters

@@ -42,6 +42,26 @@ def gram_host(mat: CSR, pad_to: int | None = None) -> np.ndarray:
     return g
 
 
+_gram_acc = None
+
+
+def _get_gram_acc():
+    """Module-level jitted accumulator (defining it per call would
+    recompile on every learn)."""
+    global _gram_acc
+    if _gram_acc is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def acc(g, blk):
+            return g + jnp.dot(blk.T, blk, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+        _gram_acc = acc
+    return _gram_acc
+
+
 def gram_device(mat: CSR, pad_to: int | None = None, row_block: int = 8192):
     """Dense tiled Gram on the device: G = Σ_r A_rᵀ A_r over row blocks.
 
@@ -49,17 +69,12 @@ def gram_device(mat: CSR, pad_to: int | None = None, row_block: int = 8192):
     on the MXU with f32 accumulation (precision=HIGHEST so implicit 0/1
     data gives exact integer counts).  Returns a device array.
     """
-    import jax
     import jax.numpy as jnp
 
     n = pad_to if pad_to is not None else mat.ncols
     n = _round_up(max(n, 1), 128)
 
-    @jax.jit
-    def acc(g, blk):
-        return g + jnp.dot(blk.T, blk, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-
+    acc = _get_gram_acc()
     g = jnp.zeros((n, n), dtype=jnp.float32)
     vals = mat.values()
     for r0 in range(0, mat.nrows, row_block):

@@ -28,6 +28,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket(n: int) -> int:
+    from .solvers.cd import bucket_npad
+    return bucket_npad(n)
+
+
+def _pow2ceil(n: int) -> int:
+    m = 8
+    while m < n:
+        m *= 2
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("nrcmds",))
 def _score_topn_block(W, hist_idx, hist_val, nrcmds):
     """Score one user block and return its top-N.
@@ -62,7 +74,7 @@ def densify_model(model: CSR, npad: int | None = None):
     import jax.numpy as jnp
 
     n = max(model.nrows, model.ncols)
-    npad = npad if npad is not None else _round_up(n + 1, 128)
+    npad = npad if npad is not None else _bucket(n)
     W = np.zeros((npad, npad), dtype=np.float32)
     rows = np.repeat(np.arange(model.nrows), model.row_nnz().astype(np.int64))
     W[rows, model.indices] = model.values()
@@ -82,11 +94,12 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     import jax.numpy as jnp
 
     n = max(model.nrows, model.ncols, hist.ncols)
-    npad = _round_up(n + 1, 128)
+    npad = _bucket(n)
     W = W_dev if W_dev is not None else densify_model(model, npad)
 
     nusers = hist.nrows
-    H = max(int(hist.row_nnz().max()) if nusers else 1, 1)
+    # power-of-two history width => stable compiled shapes across datasets
+    H = _pow2ceil(max(int(hist.row_nnz().max()) if nusers else 1, 1))
     ids = np.full((nusers, nrcmds), -1, dtype=np.int32)
     scores = np.zeros((nusers, nrcmds), dtype=np.float32)
     counts = np.zeros(nusers, dtype=np.int32)
@@ -97,7 +110,7 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     if hist.data is None:
         hval = (hidx >= 0).astype(np.float32)
 
-    ub = min(user_block, max(nusers, 1))
+    ub = min(user_block, _pow2ceil(max(nusers, 1)))
     for u0 in range(0, nusers, ub):
         u1 = min(u0 + ub, nusers)
         bi = np.full((ub, H), -1, dtype=np.int32)
@@ -125,11 +138,11 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
     import jax.numpy as jnp
 
     n = max(model.nrows, model.ncols, hist.ncols)
-    npad = _round_up(n + 1, 128)
+    npad = _bucket(n)
     W = W_dev if W_dev is not None else densify_model(model, npad)
 
     nusers, nnegs = negitems.shape
-    H = max(int(hist.row_nnz().max()) if nusers else 1, 1)
+    H = _pow2ceil(max(int(hist.row_nnz().max()) if nusers else 1, 1))
     hidx, hval = hist.padded_rows(width=H)
     hidx = np.where(hidx >= n, -1, hidx)
     if hist.data is None:
@@ -153,7 +166,7 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
 
     ids = np.full((nusers, min(nrcmds, nnegs)), -1, dtype=np.int32)
     scores = np.zeros((nusers, min(nrcmds, nnegs)), dtype=np.float32)
-    ub = min(user_block, max(nusers, 1))
+    ub = min(user_block, _pow2ceil(max(nusers, 1)))
     for u0 in range(0, nusers, ub):
         u1 = min(u0 + ub, nusers)
         bi = np.full((ub, H), -1, dtype=np.int32)

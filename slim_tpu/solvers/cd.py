@@ -35,6 +35,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def bucket_npad(n: int) -> int:
+    """Pad the coordinate dimension to a bucketed size ({256, 384, 512,
+    768, 1024, ...}: powers of two plus 1.5x intermediates) so different
+    datasets share compiled kernels -- each distinct shape costs minutes
+    on remote-compile TPU setups."""
+    m = 256
+    while True:
+        if n + 1 <= m:
+            return m
+        if n + 1 <= m + m // 2:
+            return m + m // 2
+        m *= 2
+
+
 def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                       gram=None):
     """Estimate the SLIM/FSLIM model with batched coordinate descent.
@@ -47,17 +61,36 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     import jax.numpy as jnp
 
     n = train.ncols
-    npad = _round_up(n + 1, 128)
+    npad = bucket_npad(n)
     B = int(cfg.block_size)
-
-    g_dev = gram if gram is not None else compute_gram(train, cfg.gram, pad_to=npad)
 
     csc = train.transpose()
     nnz_col = csc.row_nnz().astype(np.int64)
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
 
-    # order columns by nnz desc => blocks have homogeneous sweep caps
-    order = np.argsort(-nnz_col, kind="stable").astype(np.int32)
+    # Frequency relabeling: solve in a permuted item space where rank r =
+    # the r-th most-rated item.  Blocks become consecutive rank ranges
+    # with homogeneous sweep caps (the TPU analogue of the reference's
+    # schedule(dynamic,32) load balancing), AND the active-set screen
+    # (G[i,j] > l1r) concentrates in the low ranks -- popular items have
+    # the largest Gram entries -- so the kernels' chunk skipping removes
+    # most of the padded coordinate space from every sweep.
+    p = np.argsort(-nnz_col, kind="stable").astype(np.int32)  # rank -> item
+    posmap = np.empty(n, dtype=np.int32)
+    posmap[p] = np.arange(n, dtype=np.int32)
+
+    if gram is not None:
+        # shared Gram (mselect) arrives in original item space: permute
+        # rows+cols on device (two gathers), keeping the zero padding
+        p_pad = np.concatenate([p, np.arange(n, npad, dtype=np.int32)])
+        p_dev = jnp.asarray(p_pad)
+        g_dev = jnp.take(jnp.take(gram, p_dev, axis=0), p_dev, axis=1)
+    else:
+        train_p = CSR.from_arrays(train.nrows, n, train.indptr,
+                                  posmap[train.indices], train.data)
+        g_dev = compute_gram(train_p, cfg.gram, pad_to=npad)
+
+    caps_p = col_caps[p]
 
     # warm start source: dense columns of imodel (estimate.c:453-464).
     # FSLIM ignores the warm start (the active-flag handshake in
@@ -67,68 +100,100 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
 
-    nblocks = (n + B - 1) // B
-    out_cols = [None] * n
-    total_err = 0.0
-    total_obj = 0.0
-    total_niters = 0
+    # kernel dispatch: the Pallas sweep kernel on real TPUs when the block
+    # fits VMEM (block size clamped to capacity), the XLA chunked kernel
+    # otherwise (and on CPU, where Pallas would have to run interpreted)
+    impl = cfg.kernel
+    if impl == "auto":
+        import jax
 
+        from ..ops.pallas_cd import pallas_max_block
+
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if on_tpu:
+            b_fit = pallas_max_block(npad, B)
+            if b_fit >= 64:
+                impl, B = "pallas", b_fit
+            else:
+                impl = "xla"
+        else:
+            impl = "xla"
+
+    nblocks = (n + B - 1) // B
     zeros_x0 = None if use_warm else jnp.zeros((B, npad), dtype=jnp.float32)
 
+    # dispatch all blocks asynchronously; harvest once at the end so the
+    # device queue stays full (no host sync between blocks)
+    pending = []
     for blk in range(nblocks):
-        J = order[blk * B:(blk + 1) * B]
+        r0 = blk * B
+        nJ = min(B, n - r0)
         Jpad = np.full(B, npad - 1, dtype=np.int32)  # pad -> zero column
-        Jpad[:len(J)] = J
+        Jpad[:nJ] = np.arange(r0, r0 + nJ, dtype=np.int32)
         caps = np.zeros(B, dtype=np.int32)
-        caps[:len(J)] = col_caps[J]
+        caps[:nJ] = caps_p[r0:r0 + nJ]
 
         if use_warm:
             x0_host = np.zeros((B, npad), dtype=np.float32)
-            for b, j in enumerate(J):
+            for b in range(nJ):
+                j = p[r0 + b]  # original item of this rank
                 s, e = int(imodel_csc.indptr[j]), int(imodel_csc.indptr[j + 1])
-                x0_host[b, imodel_csc.indices[s:e]] = imodel_csc.values()[s:e]
+                x0_host[b, posmap[imodel_csc.indices[s:e]]] = \
+                    imodel_csc.values()[s:e]
             x0 = jnp.asarray(x0_host)
         else:
             x0 = zeros_x0
 
-        x, niters, rstatus, rnorm, obj = cd_solve_block_ids(
+        out = cd_solve_block_ids(
             g_dev, jnp.asarray(Jpad), jnp.asarray(caps), x0, n,
             float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
             int(cfg.seed) + blk, shuffle=cfg.shuffle,
-            fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
+            fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=impl)
+        pending.append((nJ, out))
 
-        x_host = np.asarray(x[:len(J), :n])
-        rnorm_h = np.asarray(rnorm[:len(J)], dtype=np.float64)
-        obj_h = np.asarray(obj[:len(J)], dtype=np.float64)
-        niters_h = np.asarray(niters[:len(J)])
+    # single concatenated device->host fetch (per-array round trips cost
+    # ~40ms each through tunneled TPU setups)
+    X_dev = jnp.concatenate([out[0] for _, out in pending], axis=0)
+    stats_dev = jnp.concatenate(
+        [jnp.stack([out[1].astype(jnp.float32), out[2].astype(jnp.float32),
+                    out[3], out[4]], axis=1) for _, out in pending], axis=0)
+    X_all = np.asarray(X_dev)
+    stats_all = np.asarray(stats_dev, dtype=np.float64)
+
+    total_err = total_obj = 0.0
+    total_niters = 0
+    coord_ids, target_ids, vals = [], [], []
+    for blk, (nJ, _) in enumerate(pending):
+        r0 = blk * B
+        x_host = X_all[blk * B:blk * B + nJ, :n]
+        niters_h = stats_all[blk * B:blk * B + nJ, 0]
+        rstatus_h = stats_all[blk * B:blk * B + nJ, 1]
+        rnorm_h = stats_all[blk * B:blk * B + nJ, 2]
+        obj_h = stats_all[blk * B:blk * B + nJ, 3]
         total_err += float(rnorm_h.sum())
         total_obj += float(obj_h.sum())
         total_niters += int(niters_h.sum())
 
-        for b, j in enumerate(J):
-            xb = x_host[b]
-            nz = np.nonzero(np.abs(xb) > EPSILON)[0]
-            out_cols[j] = (nz.astype(np.int32), xb[nz].astype(np.float32))
-            if dbg(cfg, SLIM_DBG_PROGRESS):
-                logger.info(
-                    "Col: %5d %5d rs: %d nits: %4d nnz: %4d rsd: %.2e obj: %.2e",
-                    j, int(nnz_col[j]), int(rstatus[b]), int(niters_h[b]),
-                    len(nz), rnorm_h[b], obj_h[b])
+        rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
+        coord_ids.append(p[cols])                    # permuted -> original
+        target_ids.append(p[r0 + rows])
+        vals.append(x_host[rows, cols].astype(np.float32))
 
-    # assemble: columnwise lists -> CSR model with row index
-    # (SaveModel, estimate.c:570-593)
-    coord_ids = []
-    target_ids = []
-    vals = []
-    for j in range(n):
-        nz, xv = out_cols[j]
-        coord_ids.append(nz)
-        target_ids.append(np.full(len(nz), j, dtype=np.int32))
-        vals.append(xv)
-    coord_ids = np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32)
-    target_ids = np.concatenate(target_ids) if target_ids else np.zeros(0, np.int32)
-    vals = np.concatenate(vals) if vals else np.zeros(0, np.float32)
-    model = CSR.from_ijv(coord_ids, target_ids, vals, nrows=n, ncols=n)
+        if dbg(cfg, SLIM_DBG_PROGRESS):
+            counts = np.bincount(rows, minlength=nJ)
+            for b in range(nJ):
+                j = p[r0 + b]
+                logger.info(
+                    "Col: %5d %5d rs: %d nits: %4d nnz: %4d rsd: %.2e "
+                    "obj: %.2e", j, int(nnz_col[j]), int(rstatus_h[b]),
+                    int(niters_h[b]), int(counts[b]), rnorm_h[b], obj_h[b])
+
+    # assemble the model CSR (SaveModel, estimate.c:570-593)
+    model = CSR.from_ijv(
+        np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
+        np.concatenate(target_ids) if target_ids else np.zeros(0, np.int32),
+        np.concatenate(vals) if vals else np.zeros(0, np.float32),
+        nrows=n, ncols=n)
 
     stats = {
         "loss": total_obj,

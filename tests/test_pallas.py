@@ -1,0 +1,56 @@
+"""Pallas CD sweep kernel parity (interpret mode on CPU).
+
+The real-TPU path is exercised by bench.py / the verify flow; these tests
+run the kernel through the Pallas interpreter against the XLA reference
+kernel on small problems.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import random_csr
+from slim_tpu.ops.cd_kernel import cd_solve_block_ids
+from slim_tpu.ops.gram import compute_gram
+from slim_tpu.ops.pallas_cd import (CHUNK, pallas_cd_solve, pallas_max_block,
+                                    pallas_supported)
+
+
+def _setup(rng_seed=0, nrows=60, n=20, B=32, l1r=0.3, l2r=0.5):
+    rng = np.random.default_rng(rng_seed)
+    mat = random_csr(rng, nrows, n, density=0.3, seed=rng_seed)
+    npad = ((n + 1 + 127) // 128) * 128
+    G = compute_gram(mat, "host", pad_to=npad)
+    diag = jnp.diagonal(G)
+    csc = mat.transpose()
+    caps = np.minimum(50 * csc.row_nnz(), 10000).astype(np.int32)
+    J = np.arange(B, dtype=np.int32) % n
+    gj = jnp.take(G, jnp.asarray(J), axis=1).T
+    cols = jnp.arange(npad, dtype=jnp.int32)
+    active = (gj > l1r) & (cols[None, :] != jnp.asarray(J)[:, None])
+    yty = jnp.take(diag, jnp.asarray(J))
+    x0 = jnp.zeros((B, npad), jnp.float32)
+    return (G, gj, diag, active, x0, jnp.asarray(caps[J]), yty, l1r, l2r)
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_pallas_sweep_matches_xla(shuffle):
+    G, gj, diag, active, x0, caps, yty, l1r, l2r = _setup()
+    xp, nit_p, rs_p, rn_p, obj_p = pallas_cd_solve(
+        G, gj, diag, active, x0, caps, yty, l1r, l2r, 1e-10, 3,
+        shuffle=shuffle, interpret=True)
+    from slim_tpu.ops.cd_kernel import cd_solve_block
+    xx, nit_x, rs_x, rn_x, obj_x = cd_solve_block(
+        G, gj, diag, active, x0, caps, yty, l1r, l2r, 1e-10, 3,
+        shuffle=shuffle)
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xx), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(obj_p), np.asarray(obj_x),
+                               rtol=1e-4)
+
+
+def test_pallas_capacity_model():
+    assert pallas_supported(192, 1792)
+    assert not pallas_supported(1024, 8192)
+    b = pallas_max_block(1792)
+    assert b % 32 == 0 and pallas_supported(b, 1792)
+    assert pallas_max_block(128) >= 256  # tiny problems allow big blocks
