@@ -52,12 +52,23 @@ def learn(train: CSR, cfg: Optional[SlimConfig] = None,
     t_setup = time.perf_counter() - t_total
 
     t_learn = time.perf_counter()
-    if cfg.algo == "cd":
-        model, stats = estimate_model_cd(tmat, cfg, imodel=imodel, gram=gram)
-    elif cfg.algo == "admm":
-        model, stats = estimate_model_admm(tmat, cfg, imodel=imodel, gram=gram)
-    else:
+
+    def _run():
+        if cfg.algo == "cd":
+            return estimate_model_cd(tmat, cfg, imodel=imodel, gram=gram)
+        if cfg.algo == "admm":
+            return estimate_model_admm(tmat, cfg, imodel=imodel, gram=gram)
         raise ValueError(f"unsupported algo {cfg.algo!r}")
+
+    if cfg.profile_dir:
+        # device+host trace for xprof/tensorboard (the TPU-native upgrade
+        # of the reference's wall-clock-only timers, timing.c:27-45)
+        import jax
+
+        with jax.profiler.trace(cfg.profile_dir):
+            model, stats = _run()
+    else:
+        model, stats = _run()
     t_learn = time.perf_counter() - t_learn
     t_total = time.perf_counter() - t_total
 

@@ -66,6 +66,10 @@ class SlimConfig:
     solver_dtype: str = "float32"
     gram: str = "auto"          # "auto" | "device" | "host"
     kernel: str = "auto"        # "auto" | "pallas" | "xla"
+    checkpoint_dir: str = ""    # "" = off; else resumable per-block-group
+                                # solve state (column solves are idempotent,
+                                # so restart = re-solve missing groups only)
+    profile_dir: str = ""       # "" = off; else jax.profiler trace output
     shuffle: bool = True        # shuffled coordinate order per sweep (cd.c:115)
     donate_gram: bool = False
 

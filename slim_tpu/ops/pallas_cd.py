@@ -171,11 +171,13 @@ def pallas_supported(B: int, npad: int) -> bool:
 
 
 def pallas_max_block(npad: int, cap: int = 512) -> int:
-    """Largest supported block size (multiple of 32) for this npad."""
-    b = (cap // 32) * 32
+    """Largest supported block size (multiple of 32) for this npad, or 0
+    when even the smallest block does not fit VMEM (caller falls back to
+    the XLA kernel)."""
+    b = max((cap // 32) * 32, 32)
     while b >= 32 and not pallas_supported(b, npad):
         b -= 32
-    return max(b, 32)
+    return b if b >= 32 else 0
 
 
 @functools.partial(jax.jit, static_argnames=("shuffle", "interpret"))

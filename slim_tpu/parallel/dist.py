@@ -134,12 +134,14 @@ def sharded_learn_step(mesh: Mesh, l1r=1.0, l2r=1.0, optTol=1e-7,
 # --------------------------------------------------------------------- #
 # host-level distributed learn
 # --------------------------------------------------------------------- #
-def distributed_learn(train: CSR, cfg, mesh: Mesh):
+def distributed_learn(train: CSR, cfg, mesh: Mesh, imodel: CSR | None = None):
     """Learn a model across all devices of ``mesh``.
 
     Returns (model CSR, stats).  Matches the single-device
     ``estimate_model_cd`` result (same optimum; identical screening and
     caps), validated by tests/test_dist.py on a virtual CPU mesh.
+    ``imodel`` warm-starts the solves (estimate.c:453-471 semantics: only
+    screened-active coordinates inherit the previous value).
     """
     from ..solvers.cd import EPSILON
 
@@ -176,6 +178,8 @@ def distributed_learn(train: CSR, cfg, mesh: Mesh):
     shard_spec = NamedSharding(mesh, P(("dp", "mp")))
     shard_spec2 = NamedSharding(mesh, P(("dp", "mp"), None))
 
+    imodel_csc = imodel.transpose() if imodel is not None else None
+
     for s0 in range(0, n, S):
         J = order[s0:s0 + S]
         Jpad = np.full(S, npad - 1, dtype=np.int32)
@@ -184,7 +188,14 @@ def distributed_learn(train: CSR, cfg, mesh: Mesh):
         caps[:len(J)] = col_caps[J]
         j_dev = jax.device_put(Jpad, shard_spec)
         c_dev = jax.device_put(caps, shard_spec)
-        x0 = jax.device_put(np.zeros((S, npad), np.float32), shard_spec2)
+        x0_host = np.zeros((S, npad), np.float32)
+        if imodel_csc is not None:
+            for b, j in enumerate(J):
+                lo = int(imodel_csc.indptr[j])
+                hi = int(imodel_csc.indptr[j + 1])
+                x0_host[b, imodel_csc.indices[lo:hi]] = \
+                    imodel_csc.values()[lo:hi]
+        x0 = jax.device_put(x0_host, shard_spec2)
         x, niters, rstatus, rnorm, obj = solve_fn(
             g, j_dev, c_dev, x0, int(cfg.seed) + s0)
         x_host = np.asarray(x)[:len(J), :n]

@@ -49,6 +49,57 @@ def bucket_npad(n: int) -> int:
         m *= 2
 
 
+class _Checkpoint:
+    """Per-block-group solve checkpointing (resume = skip solved blocks).
+
+    Files are keyed by a signature over everything that affects a block's
+    result (data identity + hyper-parameters + kernel order seed) so stale
+    checkpoints from other runs can never be mixed in.
+    """
+
+    def __init__(self, cfg: SlimConfig, train: CSR, n: int):
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        h.update(np.asarray([train.nrows, n, train.nnz]).tobytes())
+        h.update(train.indptr[:: max(1, train.nrows // 64)].tobytes())
+        h.update(np.asarray([cfg.l1r, cfg.l2r, cfg.optTol]).tobytes())
+        h.update(np.asarray([cfg.maxniters, cfg.nnbrs, cfg.ordered,
+                             cfg.seed, cfg.block_size,
+                             int(cfg.shuffle)]).tobytes())
+        h.update(cfg.simtype.encode())
+        self.sig = h.hexdigest()[:16]
+        self.dir = cfg.checkpoint_dir
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, blk: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"cdblk_{self.sig}_{blk}.npz")
+
+    def load(self, blk: int):
+        import os
+
+        path = self._path(blk)
+        if not os.path.exists(path):
+            return None
+        try:
+            with np.load(path) as z:
+                return (z["coord"], z["target"], z["vals"],
+                        float(z["err"]), float(z["obj"]), int(z["nit"]))
+        except Exception:
+            return None
+
+    def save(self, blk, coord, target, vals, err, obj, nit):
+        path = self._path(blk)
+        np.savez(path + ".tmp.npz", coord=coord, target=target, vals=vals,
+                 err=err, obj=obj, nit=nit)
+        import os
+
+        os.replace(path + ".tmp.npz", path)
+
+
 def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                       gram=None):
     """Estimate the SLIM/FSLIM model with batched coordinate descent.
@@ -122,10 +173,23 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     nblocks = (n + B - 1) // B
     zeros_x0 = None if use_warm else jnp.zeros((B, npad), dtype=jnp.float32)
 
+    # checkpoint/resume: column-block solves are idempotent, so crash
+    # recovery = re-solving only the missing blocks (SURVEY.md §5: the
+    # reference has no failure recovery at all; this is the natural
+    # coarse-grained equivalent).  Blocks found on disk are skipped.
+    ckpt = _Checkpoint(cfg, train, n) if cfg.checkpoint_dir else None
+
     # dispatch all blocks asynchronously; harvest once at the end so the
     # device queue stays full (no host sync between blocks)
     pending = []
+    restored = {}
     for blk in range(nblocks):
+        if ckpt is not None:
+            rec = ckpt.load(blk)
+            if rec is not None:
+                restored[blk] = rec
+                pending.append((min(B, n - blk * B), None))
+                continue
         r0 = blk * B
         nJ = min(B, n - r0)
         Jpad = np.full(B, npad - 1, dtype=np.int32)  # pad -> zero column
@@ -153,31 +217,43 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     # single concatenated device->host fetch (per-array round trips cost
     # ~40ms each through tunneled TPU setups)
-    X_dev = jnp.concatenate([out[0] for _, out in pending], axis=0)
-    stats_dev = jnp.concatenate(
-        [jnp.stack([out[1].astype(jnp.float32), out[2].astype(jnp.float32),
-                    out[3], out[4]], axis=1) for _, out in pending], axis=0)
-    X_all = np.asarray(X_dev)
-    stats_all = np.asarray(stats_dev, dtype=np.float64)
+    solved = [(blk, nJ, out) for blk, (nJ, out) in enumerate(pending)
+              if out is not None]
+    if solved:
+        X_dev = jnp.concatenate([out[0] for _, _, out in solved], axis=0)
+        stats_dev = jnp.concatenate(
+            [jnp.stack([out[1].astype(jnp.float32),
+                        out[2].astype(jnp.float32),
+                        out[3], out[4]], axis=1) for _, _, out in solved],
+            axis=0)
+        X_all = np.asarray(X_dev)
+        stats_all = np.asarray(stats_dev, dtype=np.float64)
 
     total_err = total_obj = 0.0
     total_niters = 0
     coord_ids, target_ids, vals = [], [], []
-    for blk, (nJ, _) in enumerate(pending):
+
+    for k, (blk, nJ, _) in enumerate(solved):
         r0 = blk * B
-        x_host = X_all[blk * B:blk * B + nJ, :n]
-        niters_h = stats_all[blk * B:blk * B + nJ, 0]
-        rstatus_h = stats_all[blk * B:blk * B + nJ, 1]
-        rnorm_h = stats_all[blk * B:blk * B + nJ, 2]
-        obj_h = stats_all[blk * B:blk * B + nJ, 3]
-        total_err += float(rnorm_h.sum())
-        total_obj += float(obj_h.sum())
-        total_niters += int(niters_h.sum())
+        x_host = X_all[k * B:k * B + nJ, :n]
+        niters_h = stats_all[k * B:k * B + nJ, 0]
+        rstatus_h = stats_all[k * B:k * B + nJ, 1]
+        rnorm_h = stats_all[k * B:k * B + nJ, 2]
+        obj_h = stats_all[k * B:k * B + nJ, 3]
 
         rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
-        coord_ids.append(p[cols])                    # permuted -> original
-        target_ids.append(p[r0 + rows])
-        vals.append(x_host[rows, cols].astype(np.float32))
+        blk_coord = p[cols]                          # permuted -> original
+        blk_target = p[r0 + rows]
+        blk_vals = x_host[rows, cols].astype(np.float32)
+        blk_err = float(rnorm_h.sum())
+        blk_obj = float(obj_h.sum())
+        blk_nit = int(niters_h.sum())
+
+        if ckpt is not None:
+            ckpt.save(blk, blk_coord, blk_target, blk_vals,
+                      blk_err, blk_obj, blk_nit)
+        restored[blk] = (blk_coord, blk_target, blk_vals,
+                         blk_err, blk_obj, blk_nit)
 
         if dbg(cfg, SLIM_DBG_PROGRESS):
             counts = np.bincount(rows, minlength=nJ)
@@ -187,6 +263,16 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                     "Col: %5d %5d rs: %d nits: %4d nnz: %4d rsd: %.2e "
                     "obj: %.2e", j, int(nnz_col[j]), int(rstatus_h[b]),
                     int(niters_h[b]), int(counts[b]), rnorm_h[b], obj_h[b])
+
+    for blk in range(nblocks):
+        blk_coord, blk_target, blk_vals, blk_err, blk_obj, blk_nit = \
+            restored[blk]
+        coord_ids.append(blk_coord)
+        target_ids.append(blk_target)
+        vals.append(blk_vals)
+        total_err += blk_err
+        total_obj += blk_obj
+        total_niters += blk_nit
 
     # assemble the model CSR (SaveModel, estimate.c:570-593)
     model = CSR.from_ijv(
