@@ -69,6 +69,19 @@ def bench_tpu(train, repeats=3):
     return train.infer_ncols().ncols / best, model, stats, best
 
 
+def bench_predict(train, model, repeats=3):
+    from slim_tpu.predict import densify_model, predict_topn
+
+    W = densify_model(model)
+    predict_topn(model, train, nrcmds=10, W_dev=W)  # warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        predict_topn(model, train, nrcmds=10, W_dev=W)
+        best = min(best, time.perf_counter() - t0)
+    return train.nrows / best
+
+
 def bench_cpu(train):
     from slim_tpu import native
 
@@ -94,6 +107,8 @@ def main():
     train = train.infer_ncols()
 
     tpu_cps, model, stats, tpu_s = bench_tpu(train)
+    users_ps = bench_predict(train, model)
+    log(f"[bench] predict {users_ps:.0f} users/sec")
     cpu_cps, cpu_obj = bench_cpu(train)
 
     vs = tpu_cps / cpu_cps if cpu_cps else float("nan")
@@ -103,6 +118,7 @@ def main():
         "unit": "columns/sec",
         "vs_baseline": round(vs, 3) if cpu_cps else None,
         "tpu_learn_s": round(tpu_s, 3),
+        "predict_users_per_sec": round(users_ps, 1),
         "cpu_baseline_columns_per_sec": round(cpu_cps, 2) if cpu_cps else None,
         "objective": stats.get("loss"),
         "cpu_objective": cpu_obj,

@@ -69,7 +69,7 @@ class EvalResult:
 def evaluate_topn(topn_ids: np.ndarray, topn_counts: np.ndarray, test: CSR,
                   fmarker: np.ndarray,
                   require_test_items: bool = False) -> EvalResult:
-    """Evaluate per-user top-N lists against a test matrix.
+    """Evaluate per-user top-N lists against a test matrix (vectorised).
 
     Parameters
     ----------
@@ -85,44 +85,52 @@ def evaluate_topn(topn_ids: np.ndarray, topn_counts: np.ndarray, test: CSR,
     nusers, N = topn_ids.shape
     assert test.nrows == nusers, "test rows must align with prediction rows"
 
-    hr_all = hr_head = hr_tail = arhr = 0.0
-    nvalid = nvalid_head = nvalid_tail = 0
+    ncols = max(int(test.ncols), len(fmarker),
+                int(topn_ids.max()) + 1 if topn_ids.size else 1)
+    counts = np.asarray(topn_counts)
+    ntest = test.row_nnz().astype(np.int64)
 
-    tptr = test.indptr
-    tind = test.indices
+    considered = (~(require_test_items & (ntest < 1))) & (counts >= 0)
+    nvalid = int(np.sum(considered))
+    scored = considered & (ntest >= 1)
 
-    for u in range(nusers):
-        ntest = int(tptr[u + 1] - tptr[u])
-        if require_test_items and ntest < 1:
-            continue
-        if topn_counts[u] < 0:
-            continue
-        nvalid += 1
-        if ntest < 1:
-            continue
-        titems = tind[tptr[u]:tptr[u + 1]]
-        tmark = fmarker[titems]
-        ntrue_head = int(np.sum(tmark == 0))
-        ntrue_tail = int(np.sum(tmark == 1))
-        if ntrue_tail:
-            nvalid_tail += 1
-        if ntrue_head:
-            nvalid_head += 1
-        baseline = float(np.sum(1.0 / (1.0 + np.arange(ntest))))
+    # per-user head/tail true counts over test items
+    tmark = fmarker[test.indices] if test.nnz else np.zeros(0, np.int32)
+    urow = np.repeat(np.arange(nusers, dtype=np.int64),
+                     ntest) if test.nnz else np.zeros(0, np.int64)
+    ntrue_head = np.bincount(urow[tmark == 0], minlength=nusers)
+    ntrue_tail = np.bincount(urow[tmark == 1], minlength=nusers)
+    nvalid_head = int(np.sum(scored & (ntrue_head > 0)))
+    nvalid_tail = int(np.sum(scored & (ntrue_tail > 0)))
 
-        k = int(topn_counts[u])
-        recs = topn_ids[u, :k]
-        hitmask = np.isin(recs, titems)
-        ranks = np.nonzero(hitmask)[0]
-        nh = len(ranks)
-        if nh:
-            hmark = fmarker[recs[ranks]]
-            nh_head = int(np.sum(hmark == 0))
-            nh_tail = int(np.sum(hmark == 1))
-            hr_head += nh_head / ntrue_head if nh_head > 0 else 0.0
-            hr_tail += nh_tail / ntrue_tail if nh_tail > 0 else 0.0
-            hr_all += nh / ntest
-            arhr += float(np.sum(1.0 / (1.0 + ranks))) / baseline
+    # hit detection via keyed membership: key = user * ncols + item
+    slot_ok = (np.arange(N)[None, :] < np.maximum(counts, 0)[:, None]) \
+        & (topn_ids >= 0) & scored[:, None]
+    rec_keys = np.arange(nusers, dtype=np.int64)[:, None] * ncols \
+        + np.clip(topn_ids, 0, ncols - 1)
+    test_keys = urow * ncols + test.indices
+    hit = slot_ok & np.isin(rec_keys, test_keys)
+
+    rmark = fmarker[np.clip(topn_ids, 0, len(fmarker) - 1)]
+    nh_head = np.sum(hit & (rmark == 0), axis=1)
+    nh_tail = np.sum(hit & (rmark == 1), axis=1)
+    nh = np.sum(hit, axis=1)
+
+    inv_rank = 1.0 / (1.0 + np.arange(N, dtype=np.float64))
+    larhr = np.sum(hit * inv_rank[None, :], axis=1)
+    harm = np.concatenate(([0.0], np.cumsum(1.0 / (1.0 + np.arange(
+        int(ntest.max()) if nusers else 0, dtype=np.float64)))))
+    baseline = harm[ntest]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hr_all = float(np.sum(np.where(scored, nh / np.maximum(ntest, 1), 0.0)))
+        hr_head = float(np.sum(np.where(
+            scored & (nh_head > 0), nh_head / np.maximum(ntrue_head, 1), 0.0)))
+        hr_tail = float(np.sum(np.where(
+            scored & (nh_tail > 0), nh_tail / np.maximum(ntrue_tail, 1), 0.0)))
+        arhr = float(np.sum(np.where(scored,
+                                     larhr / np.maximum(baseline, 1e-300),
+                                     0.0)))
 
     return EvalResult(
         hr=hr_all / nvalid if nvalid else 0.0,

@@ -80,12 +80,28 @@ def _read_tokenised(path):
     return lines
 
 
-def read_csr(path: str, readvals: bool = True, numbering: int = 0) -> CSR:
-    lines = _read_tokenised(path)
-    nrows = len(lines)
+def _tokenise_file(path):
+    """Return (all tokens f64, tokens-per-line i64): native C parser when
+    available (the hot path for large rating files), numpy otherwise."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    try:
+        from .. import native
+
+        if native.available():
+            return native.parse_tokens(raw)
+    except Exception:
+        pass
+    lines = raw.splitlines()
     all_tok = np.array((b" ".join(lines)).split(), dtype=np.float64) \
         if lines else np.zeros(0)
     per_row = np.array([len(l.split()) for l in lines], dtype=np.int64)
+    return all_tok, per_row
+
+
+def read_csr(path: str, readvals: bool = True, numbering: int = 0) -> CSR:
+    all_tok, per_row = _tokenise_file(path)
+    nrows = len(per_row)
     if readvals:
         if np.any(per_row % 2):
             raise ValueError(f"{path}: odd token count on a row in csr format")
@@ -103,30 +119,47 @@ def read_csr(path: str, readvals: bool = True, numbering: int = 0) -> CSR:
     return CSR.from_arrays(nrows, ncols, indptr, indices.astype(np.int32), data)
 
 
+def _format_pairs(indices, vals, numbering):
+    """Vectorised '<ind> <val>' token column (fast path for big writes)."""
+    ind_s = np.char.mod("%d", indices.astype(np.int64) + numbering)
+    if vals is None:
+        return ind_s
+    val_s = np.char.mod("%.6g", vals)
+    return np.char.add(np.char.add(ind_s, " "), val_s)
+
+
+def _write_rows(fh, tokens, indptr):
+    """Join tokens into one line per row and stream out."""
+    nrows = len(indptr) - 1
+    block = 4096
+    for r0 in range(0, max(nrows, 1), block):
+        r1 = min(r0 + block, nrows)
+        parts = []
+        for r in range(r0, r1):
+            s, e = int(indptr[r]), int(indptr[r + 1])
+            parts.append(" ".join(tokens[s:e]))
+        fh.write("\n".join(parts))
+        fh.write("\n")
+
+
 def write_csr(mat: CSR, path: str, writevals: bool = True, numbering: int = 0) -> None:
+    tokens = _format_pairs(mat.indices, mat.values() if writevals else None,
+                           numbering)
     with open(path, "w") as fh:
-        vals = mat.values()
-        for r in range(mat.nrows):
-            s, e = int(mat.indptr[r]), int(mat.indptr[r + 1])
-            if writevals:
-                fh.write(" ".join(
-                    f"{mat.indices[j] + numbering} {vals[j]:.6g}" for j in range(s, e)))
-            else:
-                fh.write(" ".join(str(mat.indices[j] + numbering) for j in range(s, e)))
-            fh.write("\n")
+        _write_rows(fh, tokens, mat.indptr)
 
 
 # --------------------------------------------------------------------- #
 # cluto
 # --------------------------------------------------------------------- #
 def read_cluto(path: str) -> CSR:
-    lines = _read_tokenised(path)
-    header = lines[0].split()
-    nrows, ncols, nnz = int(header[0]), int(header[1]), int(header[2])
-    body = lines[1:1 + nrows]
-    all_tok = np.array((b" ".join(body)).split(), dtype=np.float64) \
-        if body else np.zeros(0)
-    per_row = np.array([len(l.split()) for l in body], dtype=np.int64)
+    tok, per_line = _tokenise_file(path)
+    if len(per_line) < 1 or per_line[0] < 3:
+        raise ValueError(f"{path}: missing cluto header")
+    nrows, ncols, nnz = int(tok[0]), int(tok[1]), int(tok[2])
+    hdr = int(per_line[0])
+    all_tok = tok[hdr:]
+    per_row = per_line[1:1 + nrows]
     if np.any(per_row % 2):
         raise ValueError(f"{path}: odd token count on a row in cluto format")
     nnz_per_row = per_row // 2
@@ -141,14 +174,10 @@ def read_cluto(path: str) -> CSR:
 
 
 def write_cluto(mat: CSR, path: str) -> None:
+    tokens = _format_pairs(mat.indices, mat.values(), 1)  # cluto is 1-based
     with open(path, "w") as fh:
         fh.write(f"{mat.nrows} {mat.ncols} {mat.nnz}\n")
-        vals = mat.values()
-        for r in range(mat.nrows):
-            s, e = int(mat.indptr[r]), int(mat.indptr[r + 1])
-            fh.write(" ".join(
-                f"{mat.indices[j] + 1} {vals[j]:.6g}" for j in range(s, e)))
-            fh.write("\n")
+        _write_rows(fh, tokens, mat.indptr)
 
 
 # --------------------------------------------------------------------- #
@@ -169,9 +198,13 @@ def write_ijv(mat: CSR, path: str, numbering: int = 0) -> None:
     vals = mat.values()
     rows = np.repeat(np.arange(mat.nrows, dtype=np.int64),
                      mat.row_nnz().astype(np.int64))
+    lines = np.char.add(
+        np.char.add(np.char.mod("%d", rows + numbering), " "),
+        _format_pairs(mat.indices, vals, numbering))
     with open(path, "w") as fh:
-        for r, c, v in zip(rows, mat.indices, vals):
-            fh.write(f"{r + numbering} {c + numbering} {v:.6g}\n")
+        fh.write("\n".join(lines.tolist()))
+        if len(lines):
+            fh.write("\n")
 
 
 # --------------------------------------------------------------------- #

@@ -69,6 +69,10 @@ def _load():
         lib.slim_gram_dense.argtypes = [
             ctypes.c_int32, ctypes.c_int32, i64p, i32p, f32p,
             f32p, ctypes.c_int64, ctypes.c_int32]
+        lib.slim_parse_tokens.restype = ctypes.c_int64
+        lib.slim_parse_tokens.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, f64p, ctypes.c_int64,
+            i64p, i64p]
         lib.slim_free.restype = None
         lib.slim_free.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -134,6 +138,31 @@ def cd_learn(train, l1r=1.0, l2r=1.0, optTol=1e-7, maxniters=10000,
     model = model_csc.transpose()
     model = CSR.from_arrays(n, n, model.indptr, model.indices, model.data)
     return model, err.value, obj.value
+
+
+def parse_tokens(raw: bytes):
+    """Tokenise a whitespace/newline numeric file with the native parser.
+
+    Returns (tokens float64 array, tokens_per_line int64 array).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native slimrt unavailable")
+    import ctypes
+
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    max_tokens = len(raw) // 2 + 2
+    out = np.empty(max_tokens, dtype=np.float64)
+    breaks = np.empty(raw.count(b"\n") + 2, dtype=np.int64)
+    nlines = ctypes.c_int64()
+    ntok = lib.slim_parse_tokens(
+        raw, np.int64(len(raw)), out.ctypes.data_as(f64p),
+        np.int64(max_tokens), breaks.ctypes.data_as(i64p),
+        ctypes.byref(nlines))
+    breaks = breaks[:nlines.value]
+    per_line = np.diff(np.concatenate(([0], breaks)))
+    return out[:ntok], per_line
 
 
 def gram_dense(train, pad_to=None, nthreads=0) -> np.ndarray:

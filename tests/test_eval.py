@@ -4,6 +4,73 @@ from slim_tpu.types import CSR
 from slim_tpu.eval import determine_head_tail, evaluate_topn
 
 
+def loop_oracle(topn_ids, topn_counts, test, fmarker,
+                require_test_items=False):
+    """Straightforward per-user restatement of the reference evaluation
+    loops (slim_predict.c:180-235) used to validate the vectorised
+    implementation."""
+    nusers, N = topn_ids.shape
+    hr_all = hr_head = hr_tail = arhr = 0.0
+    nvalid = nvalid_head = nvalid_tail = 0
+    for u in range(nusers):
+        ntest = int(test.indptr[u + 1] - test.indptr[u])
+        if require_test_items and ntest < 1:
+            continue
+        if topn_counts[u] < 0:
+            continue
+        nvalid += 1
+        if ntest < 1:
+            continue
+        titems = test.indices[test.indptr[u]:test.indptr[u + 1]]
+        tmark = fmarker[titems]
+        nth, ntt = int(np.sum(tmark == 0)), int(np.sum(tmark == 1))
+        nvalid_head += 1 if nth else 0
+        nvalid_tail += 1 if ntt else 0
+        baseline = float(np.sum(1.0 / (1.0 + np.arange(ntest))))
+        k = int(topn_counts[u])
+        recs = topn_ids[u, :k]
+        hitmask = np.isin(recs, titems) & (recs >= 0)
+        ranks = np.nonzero(hitmask)[0]
+        if len(ranks):
+            hmark = fmarker[recs[ranks]]
+            nhh, nht = int(np.sum(hmark == 0)), int(np.sum(hmark == 1))
+            hr_head += nhh / nth if nhh > 0 else 0.0
+            hr_tail += nht / ntt if nht > 0 else 0.0
+            hr_all += len(ranks) / ntest
+            arhr += float(np.sum(1.0 / (1.0 + ranks))) / baseline
+    return (hr_all / nvalid if nvalid else 0.0,
+            hr_head / nvalid_head if nvalid_head else 0.0,
+            hr_tail / nvalid_tail if nvalid_tail else 0.0,
+            arhr / nvalid if nvalid else 0.0,
+            nvalid, nvalid_head, nvalid_tail)
+
+
+def test_vectorised_matches_loop_oracle():
+    rng = np.random.default_rng(17)
+    nusers, nitems, N = 80, 40, 10
+    train_mask = rng.random((nusers, nitems)) < 0.2
+    rows, cols = np.nonzero(train_mask)
+    train = CSR.from_ijv(rows, cols, np.ones(len(rows)), nusers, nitems)
+    fmarker = determine_head_tail(train)
+    test_mask = (rng.random((nusers, nitems)) < 0.08) & ~train_mask
+    trows, tcols = np.nonzero(test_mask)
+    test = CSR.from_ijv(trows, tcols, np.ones(len(trows)), nusers, nitems)
+
+    topn = rng.integers(0, nitems, size=(nusers, N)).astype(np.int32)
+    counts = rng.integers(0, N + 1, size=nusers).astype(np.int32)
+    counts[::13] = -1  # some failed predictions
+    topn[np.arange(N)[None, :] >= counts[:, None]] = -1
+
+    for req in (False, True):
+        res = evaluate_topn(topn, counts, test, fmarker,
+                            require_test_items=req)
+        exp = loop_oracle(topn, counts, test, fmarker,
+                          require_test_items=req)
+        np.testing.assert_allclose(
+            [res.hr, res.hr_head, res.hr_tail, res.arhr], exp[:4], rtol=1e-9)
+        assert (res.nvalid, res.nvalid_head, res.nvalid_tail) == exp[4:]
+
+
 def test_head_tail_split():
     # item frequencies: item0 x4, item1 x3, item2 x2, item3 x1 (nnz=10)
     rows = [0, 1, 2, 3, 0, 1, 2, 0, 1, 0]
