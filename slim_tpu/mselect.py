@@ -113,8 +113,52 @@ def mselect_pairs(train: CSR, test: CSR, cfg: SlimConfig, pairs,
     return mselect_core(train, test, cfg, pairs, point_callback=point_callback)
 
 
-def mselect_grid(train: CSR, test: CSR, cfg: SlimConfig, arrayl1, arrayl2):
+def mselect_grid(train: CSR, test: CSR, cfg: SlimConfig, arrayl1, arrayl2,
+                 parallel: bool = False):
     """Python-package-style full cross product (pyapi.c:286-399): the inner
-    loop walks l2 for each l1, warm-starting from the previous model."""
+    loop walks l2 for each l1, warm-starting from the previous model.
+
+    ``parallel=True`` solves the whole grid in one packed pass (per-column
+    regularisation in the kernels; every (point, column) pair is one
+    batched solve).  No warm starts in that mode -- it trades extra sweeps
+    for full grid parallelism, the right choice on large meshes.
+    """
     points = [(l1, l2) for l1 in arrayl1 for l2 in arrayl2]
-    return mselect_core(train, test, cfg, points)
+    if not parallel:
+        return mselect_core(train, test, cfg, points)
+
+    from .solvers.cd import estimate_grid_cd
+
+    train = train.infer_ncols()
+    test = test.infer_ncols()
+    ncols = max(train.ncols, test.ncols)
+    train = train.with_ncols(ncols)
+    test = test.with_ncols(ncols)
+    fmarker = determine_head_tail(train, ncols)
+
+    t0 = time.time()
+    solved = estimate_grid_cd(train, cfg, points)
+    t_solve = time.time() - t0
+
+    results = []
+    best = {"bestl1HR": 0.0, "bestl2HR": 0.0, "bestHRHR": 0.0, "bestARHR": 0.0,
+            "bestl1AR": 0.0, "bestl2AR": 0.0, "bestHRAR": 0.0, "bestARAR": 0.0,
+            "best_model_hr": None, "best_model_ar": None}
+    for (l1, l2), (model, stats) in zip(points, solved):
+        ev = _eval_point(model, train, test, fmarker, cfg.nrcmds)
+        rec = {"l1r": float(l1), "l2r": float(l2), "nnz": model.nnz,
+               "hr": ev.hr, "hr_head": ev.hr_head, "hr_tail": ev.hr_tail,
+               "arhr": ev.arhr, "time": t_solve / max(len(points), 1),
+               "nvalid": ev.nvalid, "nvalid_head": ev.nvalid_head,
+               "nvalid_tail": ev.nvalid_tail}
+        results.append(rec)
+        if ev.hr > best["bestHRHR"]:
+            best.update(bestHRHR=ev.hr, bestARHR=ev.arhr,
+                        bestl1HR=float(l1), bestl2HR=float(l2),
+                        best_model_hr=model)
+        if ev.arhr > best["bestARAR"]:
+            best.update(bestHRAR=ev.hr, bestARAR=ev.arhr,
+                        bestl1AR=float(l1), bestl2AR=float(l2),
+                        best_model_ar=model)
+    best["results"] = results
+    return best

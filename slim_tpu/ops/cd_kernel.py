@@ -75,17 +75,21 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
     TPU setups).
 
     ``j_ids`` padded entries should point at a zero column of G (the
-    driver pads with npad-1); their caps must be 0.
+    driver pads with npad-1); their caps must be 0.  ``l1r``/``l2r``
+    accept a scalar or a per-column (B,) vector (per-column regularisation
+    powers the parallel-grid mselect mode).
     """
     diag = jnp.diagonal(G)
     gj = jnp.take(G, j_ids, axis=1).T                       # (B, npad)
-    npad = G.shape[0]
+    B, npad = gj.shape
+    l1r = jnp.broadcast_to(jnp.asarray(l1r, gj.dtype).reshape(-1), (B,))
+    l2r = jnp.broadcast_to(jnp.asarray(l2r, gj.dtype).reshape(-1), (B,))
     cols = jnp.arange(npad, dtype=j_ids.dtype)
     if fslim_nnbrs > 0:
         active = fslim_active_mask(gj, diag, j_ids, n_valid,
                                    fslim_nnbrs, simtype)
     else:
-        active = (gj > l1r) & (cols[None, :] != j_ids[:, None])
+        active = (gj > l1r[:, None]) & (cols[None, :] != j_ids[:, None])
     yty = jnp.take(diag, j_ids)
     if impl == "pallas":
         from .pallas_cd import pallas_solve_core
@@ -121,7 +125,8 @@ def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                             estimate.c:453-471).
     col_maxniters : (B,) i32  per-column sweep caps.
     yty : (B,) f32          ||y_j||² = G[j,j] for residual computation.
-    l1r, l2r, optTol : scalars.
+    l1r, l2r : scalar or per-column (B,) vector.
+    optTol : scalar.
     seed : i32 scalar       base for the per-sweep permutation keys.
     shuffle : static bool   permuted vs cyclic coordinate order.
 
@@ -135,6 +140,8 @@ def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
     """
     B, n = gj.shape
     f32 = gj.dtype
+    l1v = jnp.broadcast_to(jnp.asarray(l1r, f32).reshape(-1), (B,))
+    l2v = jnp.broadcast_to(jnp.asarray(l2r, f32).reshape(-1), (B,))
     x0 = jnp.where(active, x0, jnp.zeros((), f32))
     tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
     key = jax.random.PRNGKey(seed)
@@ -193,7 +200,7 @@ def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     acol = jax.lax.dynamic_slice(a_loc, (0, i), (B, 1))[:, 0]
                     di = jax.lax.dynamic_slice(d_loc, (i,), (1,))[0]
                     num = gcol - qcol + di * xcol
-                    cand = jnp.where(num > l1r, (num - l1r) / (di + l2r),
+                    cand = jnp.where(num > l1v, (num - l1v) / (di + l2v),
                                      jnp.zeros((), f32))
                     newx = jnp.where(acol & live, cand, xcol)
                     delta = newx - xcol
@@ -236,5 +243,6 @@ def _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
     q = jnp.dot(x, G, preferred_element_type=f32,
                 precision=jax.lax.Precision.HIGHEST)
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1) + jnp.sum(x * q, axis=1))
-    obj = rnorm + jnp.sum(0.5 * l2r * x * x + l1r * jnp.abs(x), axis=1)
+    obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \
+        + l1v * jnp.sum(jnp.abs(x), axis=1)
     return x, niters, converged, rnorm, obj

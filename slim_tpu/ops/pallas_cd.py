@@ -59,12 +59,12 @@ def _sweep_kernel(nchunks: int, B: int, npad: int,
                   x_in_ref,   # (B, npad) whole
                   q_in_ref,   # (B, npad) whole
                   live_ref,   # (B, 1) f32 0/1
-                  scal_ref,   # (1, 2) SMEM [l1r, l2r]
+                  regs_ref,   # (B, 2) per-column [l1r, l2r]
                   # outputs (whole-array blocks, persistent across steps)
                   x_ref, q_ref, dltx_ref):
     c = pl.program_id(0)
-    l1r = scal_ref[0, 0]
-    l2r = scal_ref[0, 1]
+    l1 = regs_ref[:, 0:1]                            # (B, 1)
+    l2 = regs_ref[:, 1:2]
 
     @pl.when(c == 0)
     def _():
@@ -95,7 +95,7 @@ def _sweep_kernel(nchunks: int, B: int, npad: int,
             di = dloc[0, ci]
             # nonneg soft-threshold in ReLU form (== cd.c:125-128)
             num = gcol - qcol + di * xcol
-            cand = jnp.maximum(num - l1r, 0.0) / (di + l2r)
+            cand = jnp.maximum(num - l1, 0.0) / (di + l2)
             delta = ok * (cand - xcol)
             ql = ql + delta * gcc[ci:ci + 1, :]      # (B,1)*(1,C) FMA
             deltas.append(delta)
@@ -107,11 +107,11 @@ def _sweep_kernel(nchunks: int, B: int, npad: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_cd_sweep(G, gj, act_i8, x, q, live_f32, diag2d, scal, chunkperm,
+def pallas_cd_sweep(G, gj, act_i8, x, q, live_f32, diag2d, regs, chunkperm,
                     haschunk, interpret=False):
     """One CD sweep.  G (npad,npad) f32; gj/x/q (B,npad) f32; act_i8
-    (B,npad) int8; live_f32 (B,1); diag2d (1,npad); scal (1,2) =
-    [[l1r,l2r]]; chunkperm/haschunk (nchunks,) int32 (haschunk already in
+    (B,npad) int8; live_f32 (B,1); diag2d (1,npad); regs (B,2) per-column
+    [l1r,l2r]; chunkperm/haschunk (nchunks,) int32 (haschunk already in
     permuted order).  Returns (x', q', dltx)."""
     B, npad = gj.shape
     nchunks = npad // CHUNK
@@ -137,7 +137,7 @@ def pallas_cd_sweep(G, gj, act_i8, x, q, live_f32, diag2d, scal, chunkperm,
             pl.BlockSpec((B, npad), whole),           # x (initial)
             pl.BlockSpec((B, npad), whole),           # q (initial)
             pl.BlockSpec((B, 1), whole),              # live
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # scalars
+            pl.BlockSpec((B, 2), whole),              # per-column regs
         ],
         out_specs=[
             pl.BlockSpec((B, npad), whole),           # x out
@@ -154,7 +154,7 @@ def pallas_cd_sweep(G, gj, act_i8, x, q, live_f32, diag2d, scal, chunkperm,
             jax.ShapeDtypeStruct((B, 1), F32),
         ],
         interpret=interpret,
-    )(chunkperm, haschunk, G, gj, act_i8, diag2d, x, q, live_f32, scal)
+    )(chunkperm, haschunk, G, gj, act_i8, diag2d, x, q, live_f32, regs)
     return xout, qout, dltx[:, 0]
 
 
@@ -199,7 +199,9 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
     act_i8 = active.astype(jnp.int8)
     act_f = active.astype(F32)
     diag2d = diag.reshape(1, npad).astype(F32)
-    scal = jnp.stack([jnp.float32(l1r), jnp.float32(l2r)]).reshape(1, 2)
+    l1v = jnp.broadcast_to(jnp.asarray(l1r, F32).reshape(-1), (B,))
+    l2v = jnp.broadcast_to(jnp.asarray(l2r, F32).reshape(-1), (B,))
+    regs = jnp.stack([l1v, l2v], axis=1)              # (B, 2)
     key = jax.random.PRNGKey(seed)
     x0 = jnp.where(active, x0.astype(F32), 0.0)
     tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
@@ -224,7 +226,7 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
         q = jnp.dot(x, G, preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST)
         xn, qn, dltx = pallas_cd_sweep(G, gj, act_i8, x, q, live_f, diag2d,
-                                       scal, perm, has_perm,
+                                       regs, perm, has_perm,
                                        interpret=interpret)
         converged = converged | (live & (dltx < optTol))
         return xn, t + 1, converged, niters + live.astype(jnp.int32)
@@ -238,5 +240,6 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
                 precision=jax.lax.Precision.HIGHEST)
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
                    + jnp.sum(x * q, axis=1))
-    obj = rnorm + jnp.sum(0.5 * l2r * x * x + l1r * jnp.abs(x), axis=1)
+    obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \
+        + l1v * jnp.sum(jnp.abs(x), axis=1)
     return x, niters, converged, rnorm, obj

@@ -27,6 +27,28 @@ def default_mesh_shape(n_devices: int) -> tuple[int, int]:
     return dp, n_devices // dp
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialise the multi-host runtime (jax.distributed).
+
+    The TPU-native replacement for the reference's nonexistent distributed
+    story (it is shared-memory OpenMP only, SURVEY.md §2): after this,
+    ``jax.devices()`` spans all hosts and ``make_mesh`` lays the (dp, mp)
+    grid over the full slice; the Gram psum rides ICI within a slice and
+    DCN across slices, compiled by XLA.  No-op when already initialised
+    or when running single-process.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialised / single-process
+
+
 def make_mesh(n_devices: int | None = None, shape: tuple[int, int] | None = None,
               axis_names=("dp", "mp")) -> Mesh:
     devs = jax.devices()

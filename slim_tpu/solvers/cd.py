@@ -49,6 +49,103 @@ def bucket_npad(n: int) -> int:
         m *= 2
 
 
+def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
+    """Solve a whole (l1r, l2r) grid in one packed pass.
+
+    Every (grid point, item column) pair becomes one batched column solve
+    against the shared Gram -- the per-column regularisation support in
+    the kernels makes the full hyper-parameter grid embarrassingly
+    parallel (the "vmapped grid" axis of the TPU design; the reference can
+    only walk points sequentially).  No warm starting (points solve
+    independently): on a single chip the warm-started sequential walk in
+    mselect.py is usually cheaper, but the packed form saturates large
+    meshes/batches.
+
+    Returns a list of (model, stats) aligned with ``points``.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.cd_kernel import cd_solve_block_ids
+
+    train = train.infer_ncols()
+    n = train.ncols
+    npad = bucket_npad(n)
+    B = int(cfg.block_size)
+
+    csc = train.transpose()
+    nnz_col = csc.row_nnz().astype(np.int64)
+    col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
+    p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
+    posmap = np.empty(n, dtype=np.int32)
+    posmap[p] = np.arange(n, dtype=np.int32)
+
+    train_p = CSR.from_arrays(train.nrows, n, train.indptr,
+                              posmap[train.indices], train.data)
+    g_dev = compute_gram(train_p, cfg.gram, pad_to=npad)
+    caps_p = col_caps[p]
+
+    impl = cfg.kernel
+    if impl == "auto":
+        import jax
+
+        from ..ops.pallas_cd import pallas_max_block
+
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        b_fit = pallas_max_block(npad, B) if on_tpu else 0
+        if b_fit >= 64:
+            impl, B = "pallas", b_fit
+        else:
+            impl = "xla"
+
+    P = len(points)
+    l1s = np.asarray([pt[0] for pt in points], dtype=np.float32)
+    l2s = np.asarray([pt[1] for pt in points], dtype=np.float32)
+    total = P * n  # virtual column v: point v // n, rank v % n
+
+    fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
+    zeros_x0 = jnp.zeros((B, npad), dtype=jnp.float32)
+
+    pending = []
+    for v0 in range(0, total, B):
+        nv = min(B, total - v0)
+        vids = np.arange(v0, v0 + nv)
+        ranks = (vids % n).astype(np.int32)
+        pts = (vids // n).astype(np.int32)
+        Jpad = np.full(B, npad - 1, dtype=np.int32)
+        Jpad[:nv] = ranks
+        caps = np.zeros(B, dtype=np.int32)
+        caps[:nv] = caps_p[ranks]
+        l1b = np.zeros(B, dtype=np.float32)
+        l2b = np.full(B, 1.0, dtype=np.float32)
+        l1b[:nv] = l1s[pts]
+        l2b[:nv] = l2s[pts]
+        out = cd_solve_block_ids(
+            g_dev, jnp.asarray(Jpad), jnp.asarray(caps), zeros_x0, n,
+            jnp.asarray(l1b), jnp.asarray(l2b), float(cfg.optTol),
+            int(cfg.seed) + v0, shuffle=cfg.shuffle,
+            fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=impl)
+        pending.append((nv, out))
+
+    X_all = np.asarray(jnp.concatenate([o[0] for _, o in pending], axis=0))
+    st_all = np.asarray(jnp.concatenate(
+        [jnp.stack([o[3], o[4], o[1].astype(jnp.float32)], axis=1)
+         for _, o in pending], axis=0), dtype=np.float64)
+
+    results = []
+    for pt in range(P):
+        rows_lo = pt * n
+        Xp = X_all[rows_lo:rows_lo + n, :n]  # rank-major solutions
+        rr, cc = np.nonzero(np.abs(Xp) > EPSILON)
+        model = CSR.from_ijv(p[cc], p[rr], Xp[rr, cc].astype(np.float32),
+                             nrows=n, ncols=n)
+        err = float(st_all[rows_lo:rows_lo + n, 0].sum())
+        obj = float(st_all[rows_lo:rows_lo + n, 1].sum())
+        results.append((model, {
+            "loss": obj, "fit": err, "nnz": model.nnz,
+            "niters": int(st_all[rows_lo:rows_lo + n, 2].sum())}))
+    return results
+
+
 class _Checkpoint:
     """Per-block-group solve checkpointing (resume = skip solved blocks).
 
