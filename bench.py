@@ -29,14 +29,24 @@ MAXNITERS = 10000
 
 
 def load_workload():
-    """ml100k implicit train matrix (943 x ~1682), or a synthetic clone."""
+    """Default: ml100k explicit train matrix (943 x ~1682), or a synthetic
+    clone.  SLIM_BENCH_LARGE=1 switches to a 50k x 10k zipf implicit
+    matrix (2M nnz) exercising the compacted large-catalogue solver."""
     from slim_tpu.io.readers import read_matrix
     from slim_tpu.types import CSR
+
+    rng = np.random.default_rng(0)
+    if os.environ.get("SLIM_BENCH_LARGE") == "1":
+        nrows, ncols, nnz = 50000, 10000, 2_000_000
+        users = rng.integers(0, nrows, nnz)
+        items = (rng.zipf(1.25, nnz * 2) % ncols)[:nnz]
+        mat = CSR.from_ijv(users, items, np.ones(nnz, np.float32),
+                           nrows, ncols).binarize()
+        return mat, "synthetic-50kx10k"
 
     path = os.path.join(REFERENCE_TEST_DIR, "ml100k.cluto")
     if os.path.exists(path):
         return read_matrix(path, fmt="cluto"), "ml100k"
-    rng = np.random.default_rng(0)
     nrows, ncols, nnz = 943, 1682, 100000
     users = rng.integers(0, nrows, nnz)
     pop = rng.zipf(1.3, nnz * 2) % ncols

@@ -66,6 +66,10 @@ class SlimConfig:
     solver_dtype: str = "float32"
     gram: str = "auto"          # "auto" | "device" | "host"
     kernel: str = "auto"        # "auto" | "pallas" | "xla"
+    compact_threshold: int = 4096  # npad above which blocks solve in the
+                                # compacted union-active-set space (keeps
+                                # per-sweep cost O(K_active²) instead of
+                                # O(npad²) on huge item catalogues)
     checkpoint_dir: str = ""    # "" = off; else resumable per-block-group
                                 # solve state (column solves are idempotent,
                                 # so restart = re-solve missing groups only)

@@ -107,6 +107,75 @@ def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def block_union_mask(G, j_ids, l1r, K):
+    """Screen a block and extract its union active set.
+
+    Returns (S, union_count): S = (K,) compacted coordinate ids (ascending;
+    padded entries point at npad-1, the zero row/col), union_count = true
+    union size so the caller can grow K when it overflows.
+
+    The union set is what makes large catalogues tractable: after
+    frequency relabeling the blocks' active sets overlap heavily (popular
+    items dominate every screen), so K_union ≈ K_active per column rather
+    than B x K_active.
+    """
+    npad = G.shape[0]
+    gj = jnp.take(G, j_ids, axis=1).T                  # (B, npad)
+    B = gj.shape[0]
+    l1v = jnp.broadcast_to(jnp.asarray(l1r, gj.dtype).reshape(-1), (B,))
+    cols = jnp.arange(npad, dtype=j_ids.dtype)
+    active = (gj > l1v[:, None]) & (cols[None, :] != j_ids[:, None])
+    u = jnp.any(active, axis=0)                        # (npad,)
+    count = jnp.sum(u.astype(jnp.int32))
+    # ascending active ids first: sort key puts active coords (key=idx)
+    # before inactive ones (key=idx+npad); padded tail -> npad-1
+    key = jnp.where(u, cols, cols + npad)
+    order = jnp.argsort(key)[:K]
+    pos = jnp.arange(K, dtype=j_ids.dtype)
+    S = jnp.where(pos < count, order.astype(j_ids.dtype), npad - 1)
+    return S, count
+
+
+@functools.partial(jax.jit, static_argnames=("shuffle", "impl"))
+def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
+                           l1r, l2r, optTol, seed, shuffle=True, impl="xla"):
+    """Solve a block in the compacted coordinate space S (from
+    :func:`block_union_mask`).
+
+    Exact: coordinates outside S are inactive for every column of the
+    block, so restricting the solve to S changes nothing; per-sweep cost
+    drops from O(npad²) to O(K²).  ``x0s`` is the warm start already
+    gathered into compact space ((B, K)).
+    """
+    npad = G.shape[0]
+    B = j_ids.shape[0]
+    K = S.shape[0]
+    l1v = jnp.broadcast_to(jnp.asarray(l1r, G.dtype).reshape(-1), (B,))
+    l2v = jnp.broadcast_to(jnp.asarray(l2r, G.dtype).reshape(-1), (B,))
+
+    # compact Gram: row gather (DMA-friendly) then column gather
+    Gs = jnp.take(jnp.take(G, S, axis=0), S, axis=1)   # (K, K)
+    diag_full = jnp.diagonal(G)
+    diag_s = jnp.take(diag_full, S)
+    gjs = jnp.take(jnp.take(G, j_ids, axis=1).T, S, axis=1)  # (B, K)
+    yty = jnp.take(diag_full, j_ids)
+
+    pos = jnp.arange(K, dtype=S.dtype)
+    pad_mask = S != (npad - 1)                         # real compact coords
+    active_s = (gjs > l1v[:, None]) & (S[None, :] != j_ids[:, None]) \
+        & pad_mask[None, :]
+
+    if impl == "pallas":
+        from .pallas_cd import pallas_solve_core
+
+        return pallas_solve_core(Gs, gjs, diag_s, active_s, x0s,
+                                 col_maxniters, yty, l1v, l2v, optTol, seed,
+                                 shuffle=shuffle)
+    return _cd_core(Gs, gjs, diag_s, active_s, x0s, col_maxniters, yty,
+                    l1v, l2v, optTol, seed, shuffle)
+
+
 CHUNK = 128  # coordinates per Gauss-Seidel chunk (VPU lane width)
 
 

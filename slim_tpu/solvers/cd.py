@@ -22,7 +22,8 @@ import logging
 import numpy as np
 
 from ..config import SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS, dbg
-from ..ops.cd_kernel import cd_solve_block_ids
+from ..ops.cd_kernel import (block_union_mask, cd_solve_block_compact,
+                             cd_solve_block_ids)
 from ..ops.gram import compute_gram
 from ..types import CSR
 
@@ -251,19 +252,24 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # kernel dispatch: the Pallas sweep kernel on real TPUs when the block
     # fits VMEM (block size clamped to capacity), the XLA chunked kernel
     # otherwise (and on CPU, where Pallas would have to run interpreted)
+    # Large catalogues: solve each block in its compacted union-active-set
+    # space (per-sweep cost O(K²) instead of O(npad²); exact, see
+    # ops/cd_kernel.block_union_mask).  FSLIM keeps the full-width path
+    # (its active sets are already nnbrs-bounded).
+    use_compact = npad > int(cfg.compact_threshold) and fslim_nnbrs == 0
+    if use_compact:
+        B = min(B, 128)  # smaller blocks keep the union sets tight
+
+    import jax
+
+    from ..ops.pallas_cd import pallas_max_block
+
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     impl = cfg.kernel
-    if impl == "auto":
-        import jax
-
-        from ..ops.pallas_cd import pallas_max_block
-
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        if on_tpu:
-            b_fit = pallas_max_block(npad, B)
-            if b_fit >= 64:
-                impl, B = "pallas", b_fit
-            else:
-                impl = "xla"
+    if impl == "auto" and not use_compact:
+        b_fit = pallas_max_block(npad, B) if on_tpu else 0
+        if b_fit >= 64:
+            impl, B = "pallas", b_fit
         else:
             impl = "xla"
 
@@ -276,8 +282,40 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # coarse-grained equivalent).  Blocks found on disk are skipped.
     ckpt = _Checkpoint(cfg, train, n) if cfg.checkpoint_dir else None
 
-    # dispatch all blocks asynchronously; harvest once at the end so the
-    # device queue stays full (no host sync between blocks)
+    def block_meta(blk):
+        r0 = blk * B
+        nJ = min(B, n - r0)
+        Jpad = np.full(B, npad - 1, dtype=np.int32)  # pad -> zero column
+        Jpad[:nJ] = np.arange(r0, r0 + nJ, dtype=np.int32)
+        caps = np.zeros(B, dtype=np.int32)
+        caps[:nJ] = caps_p[r0:r0 + nJ]
+        return r0, nJ, Jpad, caps
+
+    def warm_x0(r0, nJ):
+        x0_host = np.zeros((B, npad), dtype=np.float32)
+        for b in range(nJ):
+            j = p[r0 + b]  # original item of this rank
+            s, e = int(imodel_csc.indptr[j]), int(imodel_csc.indptr[j + 1])
+            x0_host[b, posmap[imodel_csc.indices[s:e]]] = \
+                imodel_csc.values()[s:e]
+        return jnp.asarray(x0_host)
+
+    # phase 1 (compact only): union active sets for every block, counts
+    # fetched in one transfer, K bucketed per block for compile reuse
+    union_S = {}
+    if use_compact:
+        masks = []
+        for blk in range(nblocks):
+            _, _, Jpad, _ = block_meta(blk)
+            masks.append(block_union_mask(
+                g_dev, jnp.asarray(Jpad), float(cfg.l1r), npad))
+        counts_host = np.asarray(jnp.stack([c for _, c in masks]))
+        for blk, (S_full, _) in enumerate(masks):
+            K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
+            union_S[blk] = (K, S_full[:K])
+
+    # phase 2: dispatch all block solves asynchronously; harvest at the
+    # end so the device queue stays full (no host sync between blocks)
     pending = []
     restored = {}
     for blk in range(nblocks):
@@ -285,81 +323,93 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             rec = ckpt.load(blk)
             if rec is not None:
                 restored[blk] = rec
-                pending.append((min(B, n - blk * B), None))
+                pending.append((min(B, n - blk * B), None, None))
                 continue
-        r0 = blk * B
-        nJ = min(B, n - r0)
-        Jpad = np.full(B, npad - 1, dtype=np.int32)  # pad -> zero column
-        Jpad[:nJ] = np.arange(r0, r0 + nJ, dtype=np.int32)
-        caps = np.zeros(B, dtype=np.int32)
-        caps[:nJ] = caps_p[r0:r0 + nJ]
+        r0, nJ, Jpad, caps = block_meta(blk)
+        x0 = warm_x0(r0, nJ) if use_warm else zeros_x0
 
-        if use_warm:
-            x0_host = np.zeros((B, npad), dtype=np.float32)
-            for b in range(nJ):
-                j = p[r0 + b]  # original item of this rank
-                s, e = int(imodel_csc.indptr[j]), int(imodel_csc.indptr[j + 1])
-                x0_host[b, posmap[imodel_csc.indices[s:e]]] = \
-                    imodel_csc.values()[s:e]
-            x0 = jnp.asarray(x0_host)
+        if use_compact:
+            K, S = union_S[blk]
+            x0s = jnp.take(x0, S, axis=1)
+            blk_impl = cfg.kernel
+            if blk_impl == "auto":
+                blk_impl = "pallas" if (on_tpu and
+                                        pallas_max_block(K, B) >= B) else "xla"
+            out = cd_solve_block_compact(
+                g_dev, S, jnp.asarray(Jpad), jnp.asarray(caps), x0s,
+                float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=blk_impl)
+            pending.append((nJ, out, S))
         else:
-            x0 = zeros_x0
+            out = cd_solve_block_ids(
+                g_dev, jnp.asarray(Jpad), jnp.asarray(caps), x0, n,
+                float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                int(cfg.seed) + blk, shuffle=cfg.shuffle,
+                fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=impl)
+            pending.append((nJ, out, None))
 
-        out = cd_solve_block_ids(
-            g_dev, jnp.asarray(Jpad), jnp.asarray(caps), x0, n,
-            float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-            int(cfg.seed) + blk, shuffle=cfg.shuffle,
-            fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=impl)
-        pending.append((nJ, out))
-
-    # single concatenated device->host fetch (per-array round trips cost
-    # ~40ms each through tunneled TPU setups)
-    solved = [(blk, nJ, out) for blk, (nJ, out) in enumerate(pending)
+    # single concatenated device->host fetch per block-width group
+    # (per-array round trips cost ~40ms each through tunneled TPU setups;
+    # compact blocks come in a handful of bucketed widths)
+    solved = [(blk, nJ, out, S) for blk, (nJ, out, S) in enumerate(pending)
               if out is not None]
-    if solved:
-        X_dev = jnp.concatenate([out[0] for _, _, out in solved], axis=0)
-        stats_dev = jnp.concatenate(
-            [jnp.stack([out[1].astype(jnp.float32),
-                        out[2].astype(jnp.float32),
-                        out[3], out[4]], axis=1) for _, _, out in solved],
-            axis=0)
-        X_all = np.asarray(X_dev)
-        stats_all = np.asarray(stats_dev, dtype=np.float64)
+    by_width = {}
+    for rec in solved:
+        by_width.setdefault(int(rec[2][0].shape[1]), []).append(rec)
 
     total_err = total_obj = 0.0
     total_niters = 0
     coord_ids, target_ids, vals = [], [], []
 
-    for k, (blk, nJ, _) in enumerate(solved):
-        r0 = blk * B
-        x_host = X_all[k * B:k * B + nJ, :n]
-        niters_h = stats_all[k * B:k * B + nJ, 0]
-        rstatus_h = stats_all[k * B:k * B + nJ, 1]
-        rnorm_h = stats_all[k * B:k * B + nJ, 2]
-        obj_h = stats_all[k * B:k * B + nJ, 3]
+    for width, group in by_width.items():
+        X_all = np.asarray(jnp.concatenate(
+            [out[0] for _, _, out, _ in group], axis=0))
+        stats_all = np.asarray(jnp.concatenate(
+            [jnp.stack([out[1].astype(jnp.float32),
+                        out[2].astype(jnp.float32),
+                        out[3], out[4]], axis=1) for _, _, out, _ in group],
+            axis=0), dtype=np.float64)
+        S_all = None
+        if group[0][3] is not None:
+            S_all = np.asarray(jnp.stack([S for _, _, _, S in group]))
 
-        rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
-        blk_coord = p[cols]                          # permuted -> original
-        blk_target = p[r0 + rows]
-        blk_vals = x_host[rows, cols].astype(np.float32)
-        blk_err = float(rnorm_h.sum())
-        blk_obj = float(obj_h.sum())
-        blk_nit = int(niters_h.sum())
+        for k, (blk, nJ, _, _) in enumerate(group):
+            r0 = blk * B
+            x_host = X_all[k * B:k * B + nJ]
+            niters_h = stats_all[k * B:k * B + nJ, 0]
+            rstatus_h = stats_all[k * B:k * B + nJ, 1]
+            rnorm_h = stats_all[k * B:k * B + nJ, 2]
+            obj_h = stats_all[k * B:k * B + nJ, 3]
 
-        if ckpt is not None:
-            ckpt.save(blk, blk_coord, blk_target, blk_vals,
-                      blk_err, blk_obj, blk_nit)
-        restored[blk] = (blk_coord, blk_target, blk_vals,
-                         blk_err, blk_obj, blk_nit)
+            rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
+            if S_all is not None:
+                coords_perm = S_all[k][cols]         # compact -> permuted
+            else:
+                coords_perm = cols
+            keep = coords_perm < n
+            rows, coords_perm = rows[keep], coords_perm[keep]
+            blk_coord = p[coords_perm]               # permuted -> original
+            blk_target = p[r0 + rows]
+            blk_vals = x_host[rows, cols[keep]].astype(np.float32)
+            blk_err = float(rnorm_h.sum())
+            blk_obj = float(obj_h.sum())
+            blk_nit = int(niters_h.sum())
 
-        if dbg(cfg, SLIM_DBG_PROGRESS):
-            counts = np.bincount(rows, minlength=nJ)
-            for b in range(nJ):
-                j = p[r0 + b]
-                logger.info(
-                    "Col: %5d %5d rs: %d nits: %4d nnz: %4d rsd: %.2e "
-                    "obj: %.2e", j, int(nnz_col[j]), int(rstatus_h[b]),
-                    int(niters_h[b]), int(counts[b]), rnorm_h[b], obj_h[b])
+            if ckpt is not None:
+                ckpt.save(blk, blk_coord, blk_target, blk_vals,
+                          blk_err, blk_obj, blk_nit)
+            restored[blk] = (blk_coord, blk_target, blk_vals,
+                             blk_err, blk_obj, blk_nit)
+
+            if dbg(cfg, SLIM_DBG_PROGRESS):
+                counts = np.bincount(rows, minlength=nJ)
+                for b in range(nJ):
+                    j = p[r0 + b]
+                    logger.info(
+                        "Col: %5d %5d rs: %d nits: %4d nnz: %4d rsd: %.2e "
+                        "obj: %.2e", j, int(nnz_col[j]), int(rstatus_h[b]),
+                        int(niters_h[b]), int(counts[b]), rnorm_h[b],
+                        obj_h[b])
 
     for blk in range(nblocks):
         blk_coord, blk_target, blk_vals, blk_err, blk_obj, blk_nit = \
