@@ -58,3 +58,19 @@ def banner(version: str = "2.0-tpu"):
     print(line)
     print(f"slim_tpu (SLIM, version {version})")
     print(line)
+
+
+def errexit_main(main_fn):
+    """Wrap a CLI main so user-input errors print one clean line (the
+    reference's errexit behaviour) instead of a traceback."""
+    def run():
+        try:
+            return main_fn()
+        except FileNotFoundError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        except (ValueError, AssertionError) as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+
+    return run

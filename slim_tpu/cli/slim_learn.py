@@ -13,8 +13,8 @@ import sys
 from ..api import learn
 from ..config import SlimConfig
 from ..io.readers import read_matrix, write_matrix
-from .common import add_common_matrix_flags, banner, make_parser, \
-    normalise_argv, setup_logging
+from .common import add_common_matrix_flags, banner, errexit_main, \
+    make_parser, normalise_argv, setup_logging
 
 
 def main(argv=None):
@@ -82,4 +82,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(errexit_main(main)())

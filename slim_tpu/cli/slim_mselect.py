@@ -14,8 +14,8 @@ import sys
 from ..config import SlimConfig
 from ..io.readers import read_l12file, read_matrix, write_matrix
 from ..mselect import mselect_pairs
-from .common import add_common_matrix_flags, banner, make_parser, \
-    normalise_argv, setup_logging
+from .common import add_common_matrix_flags, banner, errexit_main, \
+    make_parser, normalise_argv, setup_logging
 
 
 def main(argv=None):
@@ -82,4 +82,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(errexit_main(main)())

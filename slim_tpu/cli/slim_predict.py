@@ -16,8 +16,8 @@ import numpy as np
 from ..eval import determine_head_tail, evaluate_topn
 from ..io.readers import read_matrix
 from ..predict import densify_model, predict_topn
-from .common import add_common_matrix_flags, banner, make_parser, \
-    normalise_argv, setup_logging
+from .common import add_common_matrix_flags, banner, errexit_main, \
+    make_parser, normalise_argv, setup_logging
 
 
 def main(argv=None):
@@ -116,4 +116,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(errexit_main(main)())

@@ -62,7 +62,13 @@ class CSR:
 
     @staticmethod
     def from_ijv(rows, cols, vals, nrows=None, ncols=None) -> "CSR":
-        """Build from COO triplets (duplicates summed, like scipy)."""
+        """Build from COO triplets (duplicates summed, like scipy).
+
+        Summing keeps the Gram-based solvers consistent with the
+        scatter-based ones: duplicated (row, col) entries otherwise give
+        G[i,j] = Σ a_i a_j a different weight than the reference's
+        per-entry scatter loops.
+        """
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals, dtype=np.float32)
@@ -70,8 +76,18 @@ class CSR:
             nrows = int(rows.max()) + 1 if rows.size else 0
         if ncols is None:
             ncols = int(cols.max()) + 1 if cols.size else 0
-        order = np.lexsort((cols, rows))
-        rows, cols, vals = rows[order], cols[order], vals[order]
+        if rows.size:
+            keys = rows * np.int64(max(ncols, 1)) + cols
+            uniq, inv = np.unique(keys, return_inverse=True)
+            if len(uniq) != len(keys):  # duplicates: sum values
+                summed = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(summed, inv, vals.astype(np.float64))
+                vals = summed.astype(np.float32)
+                rows = (uniq // max(ncols, 1)).astype(np.int64)
+                cols = (uniq % max(ncols, 1)).astype(np.int64)
+            else:
+                order = np.lexsort((cols, rows))
+                rows, cols, vals = rows[order], cols[order], vals[order]
         counts = np.bincount(rows, minlength=nrows).astype(np.int64)
         indptr = np.zeros(nrows + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
