@@ -198,6 +198,21 @@ class _Checkpoint:
         os.replace(path + ".tmp.npz", path)
 
 
+def _dispatch_with_fallback(run, impl):
+    """Dispatch a block solve; if the Pallas kernel fails to compile for
+    this shape (Mosaic's VMEM accounting is not exactly predictable),
+    fall back to the XLA kernel for the block."""
+    if impl != "pallas":
+        return run(impl)
+    try:
+        return run("pallas")
+    except Exception as e:  # compile-time failure surfaces at dispatch
+        logger.warning("pallas kernel unavailable for this block shape "
+                       "(%s); falling back to the XLA kernel",
+                       str(e).splitlines()[0][:120])
+        return run("xla")
+
+
 def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                       gram=None):
     """Estimate the SLIM/FSLIM model with batched coordinate descent.
@@ -258,7 +273,10 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # (its active sets are already nnbrs-bounded).
     use_compact = npad > int(cfg.compact_threshold) and fslim_nnbrs == 0
     if use_compact:
-        B = min(B, 128)  # smaller blocks keep the union sets tight
+        # after frequency relabeling the unions are prefix-dominated, so
+        # moderately large blocks are nearly free (the union barely grows
+        # with B) and amortise the per-block gathers and sweeps
+        B = min(B, 256)
 
     import jax
 
@@ -335,17 +353,25 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             if blk_impl == "auto":
                 blk_impl = "pallas" if (on_tpu and
                                         pallas_max_block(K, B) >= B) else "xla"
-            out = cd_solve_block_compact(
-                g_dev, S, jnp.asarray(Jpad), jnp.asarray(caps), x0s,
-                float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=blk_impl)
+
+            def run_compact(im):
+                return cd_solve_block_compact(
+                    g_dev, S, jnp.asarray(Jpad), jnp.asarray(caps), x0s,
+                    float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                    int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im)
+
+            out = _dispatch_with_fallback(run_compact, blk_impl)
             pending.append((nJ, out, S))
         else:
-            out = cd_solve_block_ids(
-                g_dev, jnp.asarray(Jpad), jnp.asarray(caps), x0, n,
-                float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                int(cfg.seed) + blk, shuffle=cfg.shuffle,
-                fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=impl)
+            def run_full(im):
+                return cd_solve_block_ids(
+                    g_dev, jnp.asarray(Jpad), jnp.asarray(caps), x0, n,
+                    float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                    int(cfg.seed) + blk, shuffle=cfg.shuffle,
+                    fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype,
+                    impl=im)
+
+            out = _dispatch_with_fallback(run_full, impl)
             pending.append((nJ, out, None))
 
     # single concatenated device->host fetch per block-width group
