@@ -1,19 +1,23 @@
-"""Pallas TPU kernel for the CD sweep (the hot loop of SLIM learning).
+"""Pallas TPU kernel for the CD sweeps (the hot loop of SLIM learning).
 
-One kernel invocation = one coordinate-descent sweep over all (padded)
-coordinates for a block of B item columns.  The kernel runs on a
-``grid=(nchunks,)`` pipeline: grid step c processes one 128-coordinate
-chunk, whose G rows / gj / active / diag blocks are DMA'd by the Pallas
-pipeline itself, with the *shuffled* chunk order driven by a
-scalar-prefetched permutation (the index maps read ``perm[c]``).
+One kernel invocation = R_SWEEPS coordinate-descent sweeps over all
+(padded) coordinates for a block of B item columns, on a
+``grid=(R_SWEEPS, nchunks)`` pipeline: grid step (s, c) processes one
+128-coordinate chunk of sweep s.  G rows / gj / active / diag blocks are
+DMA'd by the Pallas pipeline itself, with each sweep's *shuffled* chunk
+order driven by a scalar-prefetched permutation (the index maps read
+``perm[s, c]``).  Batching sweeps into one launch amortises the kernel
+launch + XLA glue that otherwise dominates (measured ~1 ms per sweep).
 
 Within a chunk the kernel runs 128 *unrolled* Gauss-Seidel steps on VMEM
 tiles -- each step is ~6 vector ops on (B,1) plus one (B,128) FMA, raw VPU
 throughput with no XLA op-dispatch overhead -- then propagates the chunk's
 deltas to the global ``q = G x`` with one (B,128)x(128,npad) MXU matmul.
-The evolving x and q live in whole-array VMEM blocks that persist across
-grid steps (constant index map).  ``q`` is recomputed exactly from x by
-XLA before every sweep, so f32 drift never crosses sweep boundaries.
+x, q and the live-column mask live in whole-array VMEM blocks that persist
+across grid steps; per-column convergence (Σ(Δx)² < optTol, cd.c:135-138)
+and the sweep caps are evaluated *in-kernel* at each sweep boundary.
+``q`` is recomputed exactly from x by XLA between launches (every R_SWEEPS
+sweeps), bounding f32 drift.
 
 Correctness notes
 -----------------
@@ -28,10 +32,12 @@ Correctness notes
 * Masks travel as int8/f32 and the soft-threshold is in ReLU form
   (max(num-l1r,0)/(d+l2r), identical to cd.c:125-128): Mosaic cannot
   relayout wide i1 vectors, so the kernel is bool-free.
+* Per-column (l1r, l2r) supported (parallel-grid mselect).
 
-Capacity: ~4 f32 (B,npad) whole-array blocks (x in/out, q in/out) +
+Capacity: ~4 f32 (B,npad) whole-array blocks (x/q in+out) + the
 double-buffered (128,npad) G rows must fit VMEM; ``pallas_max_block``
-clamps B.  Larger problems fall back to the XLA path (ops/cd_kernel.py).
+clamps B, and the solver driver falls back to the XLA kernel at runtime if
+Mosaic still rejects a shape.
 """
 
 from __future__ import annotations
@@ -44,39 +50,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
+R_SWEEPS = 1  # sweeps per launch (multi-sweep fusing measured slower on v5e: R-granularity waste outweighs launch savings)
 
 F32 = jnp.float32
 
 
 def _sweep_kernel(nchunks: int, B: int, npad: int,
                   # scalar-prefetch refs
-                  perm_ref, has_ref,
+                  perm_ref,   # (R, nchunks) permuted chunk ids
+                  has_ref,    # (R, nchunks) chunk-has-active flags (permuted)
                   # blocked inputs
-                  grow_ref,   # (CHUNK, npad) rows [perm[c]*C : +C] of G
+                  grow_ref,   # (CHUNK, npad) rows [perm[s,c]*C : +C] of G
                   gj_ref,     # (B, CHUNK) target-Gram chunk
                   act_ref,    # (B, CHUNK) int8 active mask chunk
                   diag_ref,   # (1, CHUNK) Gram diagonal chunk
                   x_in_ref,   # (B, npad) whole
                   q_in_ref,   # (B, npad) whole
-                  live_ref,   # (B, 1) f32 0/1
-                  regs_ref,   # (B, 2) per-column [l1r, l2r]
+                  live_in_ref,  # (B, 1) f32 0/1 live at entry
+                  regs_ref,   # (B, 5) per-column [l1r, l2r, cap, t0, optTol]
                   # outputs (whole-array blocks, persistent across steps)
-                  x_ref, q_ref, dltx_ref):
-    c = pl.program_id(0)
+                  x_ref, q_ref, live_ref, nit_ref, dltx_ref):
+    s = pl.program_id(0)
+    c = pl.program_id(1)
     l1 = regs_ref[:, 0:1]                            # (B, 1)
     l2 = regs_ref[:, 1:2]
+    cap = regs_ref[:, 2:3]
+    t0 = regs_ref[:, 3:4]
+    opt_tol = regs_ref[:, 4:5]
 
-    @pl.when(c == 0)
+    @pl.when((s == 0) & (c == 0))
     def _():
         x_ref[...] = x_in_ref[...]
         q_ref[...] = q_in_ref[...]
-        dltx_ref[...] = jnp.zeros((B, 1), F32)
+        live_ref[...] = live_in_ref[...]
+        nit_ref[...] = jnp.zeros((B, 1), F32)
 
-    # skip chunks with no live active coordinate (flags precomputed per
-    # sweep by the wrapper, already in permuted order)
-    @pl.when(has_ref[c] != 0)
+    @pl.when(c == 0)
     def _():
-        base = pl.multiple_of(perm_ref[c] * CHUNK, CHUNK)
+        dltx_ref[...] = jnp.zeros((B, 1), F32)
+        nit_ref[...] += live_ref[...]
+
+    # skip chunks that have no active coordinate at all (mask is static
+    # per solve; the in-kernel live mask handles converged columns)
+    @pl.when(has_ref[s, c] != 0)
+    def _():
+        base = pl.multiple_of(perm_ref[s, c] * CHUNK, CHUNK)
         live = live_ref[...]
         gjloc = gj_ref[...]                          # (B, C)
         okf = act_ref[...].astype(F32) * live        # (B, C) f32 0/1
@@ -105,30 +123,41 @@ def _sweep_kernel(nchunks: int, B: int, npad: int,
         q_ref[...] += jnp.dot(dx, grow_ref[...], preferred_element_type=F32)
         dltx_ref[...] += jnp.sum(dx * dx, axis=1, keepdims=True)
 
+    # sweep boundary: per-column convergence + cap checks (in-kernel, so
+    # R_SWEEPS sweeps run without returning to XLA)
+    @pl.when(c == nchunks - 1)
+    def _():
+        dl = dltx_ref[...]
+        sweeps_done = t0 + jnp.float32(s + 1.0)
+        keep = jnp.where(dl < opt_tol, 0.0, 1.0) \
+            * jnp.where(sweeps_done < cap, 1.0, 0.0)
+        live_ref[...] = live_ref[...] * keep
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_cd_sweep(G, gj, act_i8, x, q, live_f32, diag2d, regs, chunkperm,
-                    haschunk, interpret=False):
-    """One CD sweep.  G (npad,npad) f32; gj/x/q (B,npad) f32; act_i8
-    (B,npad) int8; live_f32 (B,1); diag2d (1,npad); regs (B,2) per-column
-    [l1r,l2r]; chunkperm/haschunk (nchunks,) int32 (haschunk already in
-    permuted order).  Returns (x', q', dltx)."""
+def pallas_cd_sweeps(G, gj, act_i8, x, q, live_f32, diag2d, regs, perms,
+                     haschunk, interpret=False):
+    """Run R_SWEEPS CD sweeps in one launch.  Shapes: G (npad,npad) f32;
+    gj/x/q (B,npad) f32; act_i8 (B,npad) int8; live_f32 (B,1); diag2d
+    (1,npad); regs (B,5) = per-column [l1r, l2r, cap, t0, optTol];
+    perms/haschunk (R_SWEEPS, nchunks) int32.  Returns
+    (x', q', live', niters_delta, dltx_last)."""
     B, npad = gj.shape
     nchunks = npad // CHUNK
     kernel = functools.partial(_sweep_kernel, nchunks, B, npad)
 
-    def chunk_cols(c, perm, has):
-        return (0, perm[c])
+    def chunk_cols(s, c, perm, has):
+        return (0, perm[s, c])
 
-    def grow_map(c, perm, has):
-        return (perm[c], 0)
+    def grow_map(s, c, perm, has):
+        return (perm[s, c], 0)
 
-    def whole(c, perm, has):
+    def whole(s, c, perm, has):
         return (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nchunks,),
+        grid=(R_SWEEPS, nchunks),
         in_specs=[
             pl.BlockSpec((CHUNK, npad), grow_map),    # G rows
             pl.BlockSpec((B, CHUNK), chunk_cols),     # gj chunk
@@ -136,34 +165,35 @@ def pallas_cd_sweep(G, gj, act_i8, x, q, live_f32, diag2d, regs, chunkperm,
             pl.BlockSpec((1, CHUNK), chunk_cols),     # diag chunk
             pl.BlockSpec((B, npad), whole),           # x (initial)
             pl.BlockSpec((B, npad), whole),           # q (initial)
-            pl.BlockSpec((B, 1), whole),              # live
-            pl.BlockSpec((B, 2), whole),              # per-column regs
+            pl.BlockSpec((B, 1), whole),              # live (initial)
+            pl.BlockSpec((B, 5), whole),              # per-column regs
         ],
         out_specs=[
             pl.BlockSpec((B, npad), whole),           # x out
             pl.BlockSpec((B, npad), whole),           # q out
-            pl.BlockSpec((B, 1), whole),              # dltx
+            pl.BlockSpec((B, 1), whole),              # live out
+            pl.BlockSpec((B, 1), whole),              # niters delta
+            pl.BlockSpec((B, 1), whole),              # dltx (last sweep)
         ],
     )
-    xout, qout, dltx = pl.pallas_call(
+    xo, qo, lo, nit, dl = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, npad), F32),
             jax.ShapeDtypeStruct((B, npad), F32),
             jax.ShapeDtypeStruct((B, 1), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
         ],
         interpret=interpret,
-    )(chunkperm, haschunk, G, gj, act_i8, diag2d, x, q, live_f32, regs)
-    return xout, qout, dltx[:, 0]
+    )(perms, haschunk, G, gj, act_i8, diag2d, x, q, live_f32, regs)
+    return xo, qo, lo, nit, dl
 
 
 def pallas_supported(B: int, npad: int) -> bool:
-    """VMEM capacity check: 4 whole (B,npad) f32 blocks (x/q in+out) +
-    2x (CHUNK,npad) G-row buffers + small chunks, with Mosaic headroom."""
-    # the pipeline double-buffers every block, including the whole-array
-    # x/q in+out blocks: 8 (B,npad) f32 buffers + 2 (CHUNK,npad) G-row
-    # buffers + the small per-chunk blocks
+    """VMEM capacity check (the pipeline double-buffers every block,
+    including the whole-array x/q in+out blocks)."""
     vmem = (8 * B * npad * 4 + 2 * CHUNK * npad * 4
             + 8 * B * CHUNK * 4) * 1.05
     # B % 32: int8 blocks need a sublane count divisible by 32
@@ -191,9 +221,10 @@ def pallas_cd_solve(G, gj, diag, active, x0, col_maxniters, yty,
 
 def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
                       l1r, l2r, optTol, seed, shuffle=True, interpret=False):
-    """Full block solve built on the sweep kernel: JAX while-loop over
-    sweeps with per-column convergence, matching ops/cd_kernel semantics
-    (same screen, caps, Σ(Δx)² < optTol stop, residual/objective)."""
+    """Full block solve built on the multi-sweep kernel: JAX while-loop
+    over launches with per-column convergence carried in-kernel, matching
+    ops/cd_kernel semantics (same screen, caps, Σ(Δx)² < optTol stop,
+    residual/objective)."""
     B, npad = gj.shape
     nchunks = npad // CHUNK
     act_i8 = active.astype(jnp.int8)
@@ -201,41 +232,49 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
     diag2d = diag.reshape(1, npad).astype(F32)
     l1v = jnp.broadcast_to(jnp.asarray(l1r, F32).reshape(-1), (B,))
     l2v = jnp.broadcast_to(jnp.asarray(l2r, F32).reshape(-1), (B,))
-    regs = jnp.stack([l1v, l2v], axis=1)              # (B, 2)
+    caps_f = col_maxniters.astype(F32)
     key = jax.random.PRNGKey(seed)
     x0 = jnp.where(active, x0.astype(F32), 0.0)
     tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
 
+    live0 = (jnp.any(active, axis=1)
+             & (col_maxniters > 0)).astype(F32)[:, None]
+
     def cond(carry):
-        x, t, converged, niters = carry
-        return (t < tmax) & jnp.any((~converged) & (t < col_maxniters))
+        x, live, niters, t = carry
+        return (t < tmax) & jnp.any(live > 0)
 
     def body(carry):
-        x, t, converged, niters = carry
-        live = (~converged) & (t < col_maxniters)
+        x, live, niters, t = carry
+        tkey = jax.random.fold_in(key, t)
         if shuffle:
-            perm = jax.random.permutation(
-                jax.random.fold_in(key, t), nchunks).astype(jnp.int32)
+            perms = jax.vmap(
+                lambda k: jax.random.permutation(k, nchunks))(
+                jax.random.split(tkey, R_SWEEPS)).astype(jnp.int32)
         else:
-            perm = jnp.arange(nchunks, dtype=jnp.int32)
-        live_f = live.astype(F32)[:, None]
-        chunk_any = (jnp.sum(act_f * live_f, axis=0)
+            perms = jnp.tile(jnp.arange(nchunks, dtype=jnp.int32),
+                             (R_SWEEPS, 1))
+        # live-aware chunk flags recomputed per launch: chunks whose only
+        # active coords belong to converged columns are skipped
+        chunk_any = (jnp.sum(act_f * live, axis=0)
                      .reshape(nchunks, CHUNK).sum(axis=1) > 0)
-        has_perm = jnp.take(chunk_any, perm).astype(jnp.int32)
-        # exact q at sweep start (MXU, f32 accumulation)
+        has = jnp.take(chunk_any, perms).astype(jnp.int32)  # (R, nchunks)
+        regs = jnp.stack(
+            [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
+             jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=1)
+        # exact q at launch start (MXU, f32 accumulation)
         q = jnp.dot(x, G, preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST)
-        xn, qn, dltx = pallas_cd_sweep(G, gj, act_i8, x, q, live_f, diag2d,
-                                       regs, perm, has_perm,
-                                       interpret=interpret)
-        converged = converged | (live & (dltx < optTol))
-        return xn, t + 1, converged, niters + live.astype(jnp.int32)
+        xn, qn, liven, nit_d, _ = pallas_cd_sweeps(
+            G, gj, act_i8, x, q, live, diag2d, regs, perms, has,
+            interpret=interpret)
+        return xn, liven, niters + nit_d[:, 0], t + R_SWEEPS
 
-    x, t, converged, niters = jax.lax.while_loop(
-        cond, body,
-        (x0, jnp.zeros((), jnp.int32), jnp.zeros(B, bool),
-         jnp.zeros(B, jnp.int32)))
+    x, live, niters_f, t = jax.lax.while_loop(
+        cond, body, (x0, live0, jnp.zeros(B, F32), jnp.zeros((), jnp.int32)))
 
+    niters = niters_f.astype(jnp.int32)
+    converged = (live[:, 0] == 0) & (niters < col_maxniters)
     q = jnp.dot(x, G, preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
