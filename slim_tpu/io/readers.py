@@ -72,14 +72,6 @@ def write_matrix(mat: CSR, path: str, fmt: str = "csr", writevals: bool = True,
 # --------------------------------------------------------------------- #
 # text csr
 # --------------------------------------------------------------------- #
-def _read_tokenised(path):
-    """Read whole file, return (per-line token arrays) fast path."""
-    with open(path, "rb") as fh:
-        raw = fh.read()
-    lines = raw.splitlines()
-    return lines
-
-
 def _tokenise_file(path):
     """Return (all tokens f64, tokens-per-line i64): native C parser when
     available (the hot path for large rating files), numpy otherwise."""

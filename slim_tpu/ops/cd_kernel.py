@@ -107,6 +107,17 @@ def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def block_union_masks_batched(G, j_ids_all, l1r):
+    """Union active sets for MANY blocks in one dispatch (vmapped
+    :func:`block_union_mask` over the leading axis of ``j_ids_all``
+    (nblocks, B)); returns (S_all (nblocks, npad), counts (nblocks,))."""
+    def one(j_ids):
+        return block_union_mask(G, j_ids, l1r, G.shape[0])
+
+    return jax.vmap(one)(j_ids_all)
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def block_union_mask(G, j_ids, l1r, K):
     """Screen a block and extract its union active set.

@@ -66,7 +66,11 @@ def _score_topn_block(W, hist_idx, hist_val, nrcmds):
     valid = jnp.arange(nrcmds)[None, :] < counts[:, None]
     top_ids = jnp.where(valid, top_ids, -1)
     top_scores = jnp.where(valid, top_scores, 0.0)
-    return top_ids.astype(jnp.int32), top_scores, counts
+    # pack [ids, scores, counts] into one f32 array => a single
+    # device->host transfer per call (ids < 2^24 are exact in f32)
+    return jnp.concatenate(
+        [top_ids.astype(jnp.float32), top_scores,
+         counts.astype(jnp.float32)[:, None]], axis=1)
 
 
 def densify_model(model: CSR, npad: int | None = None):
@@ -110,18 +114,27 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     if hist.data is None:
         hval = (hidx >= 0).astype(np.float32)
 
+    # dispatch all user blocks, then one concatenated device->host fetch
     ub = min(user_block, _pow2ceil(max(nusers, 1)))
+    packed = []
     for u0 in range(0, nusers, ub):
         u1 = min(u0 + ub, nusers)
         bi = np.full((ub, H), -1, dtype=np.int32)
         bv = np.zeros((ub, H), dtype=np.float32)
         bi[:u1 - u0] = hidx[u0:u1]
         bv[:u1 - u0] = hval[u0:u1]
-        tid, tsc, tct = _score_topn_block(W, jnp.asarray(bi), jnp.asarray(bv),
-                                          nrcmds)
-        ids[u0:u1] = np.asarray(tid)[:u1 - u0]
-        scores[u0:u1] = np.asarray(tsc)[:u1 - u0]
-        counts[u0:u1] = np.asarray(tct)[:u1 - u0]
+        packed.append(_score_topn_block(W, jnp.asarray(bi), jnp.asarray(bv),
+                                        nrcmds))
+    if packed:
+        import jax.numpy as _jnp
+
+        all_host = np.asarray(_jnp.concatenate(packed, axis=0))
+        for k, u0 in enumerate(range(0, nusers, ub)):
+            u1 = min(u0 + ub, nusers)
+            blk = all_host[k * ub:k * ub + (u1 - u0)]
+            ids[u0:u1] = blk[:, :nrcmds].astype(np.int32)
+            scores[u0:u1] = blk[:, nrcmds:2 * nrcmds]
+            counts[u0:u1] = blk[:, 2 * nrcmds].astype(np.int32)
     return ids, scores, counts
 
 

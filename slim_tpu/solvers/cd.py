@@ -22,18 +22,14 @@ import logging
 import numpy as np
 
 from ..config import SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS, dbg
-from ..ops.cd_kernel import (block_union_mask, cd_solve_block_compact,
-                             cd_solve_block_ids)
+from ..ops.cd_kernel import (block_union_mask, block_union_masks_batched,
+                             cd_solve_block_compact, cd_solve_block_ids)
 from ..ops.gram import compute_gram
 from ..types import CSR
 
 logger = logging.getLogger("slim_tpu")
 
 EPSILON = 1e-7  # model nonzero threshold (reference def.h:14)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def bucket_npad(n: int) -> int:
@@ -198,18 +194,58 @@ class _Checkpoint:
         os.replace(path + ".tmp.npz", path)
 
 
-def _dispatch_with_fallback(run, impl):
+_pallas_failed_shapes: set | None = None
+
+
+def _failed_shape_file():
+    import os
+
+    d = os.environ.get("SLIM_TPU_CACHE_DIR",
+                       os.path.expanduser("~/.cache/slim_tpu_jax"))
+    return os.path.join(d, "pallas_failed_shapes.txt")
+
+
+def _load_failed_shapes() -> set:
+    global _pallas_failed_shapes
+    if _pallas_failed_shapes is None:
+        _pallas_failed_shapes = set()
+        try:
+            with open(_failed_shape_file()) as fh:
+                for line in fh:
+                    b, k = line.split()
+                    _pallas_failed_shapes.add((int(b), int(k)))
+        except OSError:
+            pass
+    return _pallas_failed_shapes
+
+
+def _record_failed_shape(shape_key) -> None:
+    import os
+
+    _load_failed_shapes().add(shape_key)
+    try:
+        os.makedirs(os.path.dirname(_failed_shape_file()), exist_ok=True)
+        with open(_failed_shape_file(), "a") as fh:
+            fh.write(f"{shape_key[0]} {shape_key[1]}\n")
+    except OSError:
+        pass
+
+
+def _dispatch_with_fallback(run, impl, shape_key=None):
     """Dispatch a block solve; if the Pallas kernel fails to compile for
     this shape (Mosaic's VMEM accounting is not exactly predictable),
-    fall back to the XLA kernel for the block."""
-    if impl != "pallas":
-        return run(impl)
+    fall back to the XLA kernel for the block.  Failed shapes are
+    remembered on disk: jit does not cache failures, so retrying would pay
+    the (remote) compile round trip for every block of every run."""
+    if impl != "pallas" or shape_key in _load_failed_shapes():
+        return run("xla" if impl == "pallas" else impl)
     try:
         return run("pallas")
     except Exception as e:  # compile-time failure surfaces at dispatch
-        logger.warning("pallas kernel unavailable for this block shape "
-                       "(%s); falling back to the XLA kernel",
+        logger.warning("pallas kernel unavailable for block shape %s "
+                       "(%s); falling back to the XLA kernel", shape_key,
                        str(e).splitlines()[0][:120])
+        _record_failed_shape(shape_key)
         return run("xla")
 
 
@@ -322,15 +358,13 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # fetched in one transfer, K bucketed per block for compile reuse
     union_S = {}
     if use_compact:
-        masks = []
+        j_all = np.stack([block_meta(blk)[2] for blk in range(nblocks)])
+        S_all, counts = block_union_masks_batched(
+            g_dev, jnp.asarray(j_all), float(cfg.l1r))
+        counts_host = np.asarray(counts)
         for blk in range(nblocks):
-            _, _, Jpad, _ = block_meta(blk)
-            masks.append(block_union_mask(
-                g_dev, jnp.asarray(Jpad), float(cfg.l1r), npad))
-        counts_host = np.asarray(jnp.stack([c for _, c in masks]))
-        for blk, (S_full, _) in enumerate(masks):
             K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
-            union_S[blk] = (K, S_full[:K])
+            union_S[blk] = (K, S_all[blk, :K])
 
     # phase 2: dispatch all block solves asynchronously; harvest at the
     # end so the device queue stays full (no host sync between blocks)
@@ -360,7 +394,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                     int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im)
 
-            out = _dispatch_with_fallback(run_compact, blk_impl)
+            out = _dispatch_with_fallback(run_compact, blk_impl,
+                                          shape_key=(B, K))
             pending.append((nJ, out, S))
         else:
             def run_full(im):
@@ -371,7 +406,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                     fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype,
                     impl=im)
 
-            out = _dispatch_with_fallback(run_full, impl)
+            out = _dispatch_with_fallback(run_full, impl,
+                                          shape_key=(B, npad))
             pending.append((nJ, out, None))
 
     # single concatenated device->host fetch per block-width group
