@@ -380,7 +380,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         r0, nJ, Jpad, caps = block_meta(blk)
         x0 = warm_x0(r0, nJ) if use_warm else zeros_x0
 
-        if use_compact:
+        if use_compact and union_S[blk][0] < npad:
             K, S = union_S[blk]
             x0s = jnp.take(x0, S, axis=1)
             blk_impl = cfg.kernel
