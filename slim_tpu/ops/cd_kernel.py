@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 
-def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype):
+def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype,
+                      col_ids=None, self_norms=None):
     """FSLIM neighbour selection from Gram columns (neighbors.c:16-125).
 
     Candidates are items co-rated with the target (gj > 0), excluding the
@@ -40,28 +41,37 @@ def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype):
     cosine; neighbors.c:82-83), ``jac`` = aᵀb/(‖b‖+‖a‖-aᵀb)
     (neighbors.c:107-109; the reference uses 2-norms, not squared).  The
     top-nnbrs by similarity become the CD active set.
+
+    ``col_ids`` (width,) maps positions to global item ids when operating
+    in a compacted coordinate space (defaults to arange); ``self_norms``
+    (B,) supplies ‖a_j‖ directly when ``diag`` is compacted (jac only).
+    Restricting the top-k to a union superset of the true top sets is
+    exact: every column's global top-nnbrs is inside the union, so the
+    restricted ranking returns the same set.
     """
-    B, npad = gj.shape
+    B, width = gj.shape
     cnorms = jnp.sqrt(diag)
-    cols = jnp.arange(npad, dtype=jnp.int32)
-    cand = (gj > 0) & (cols[None, :] != self_ids[:, None]) \
-        & (cols[None, :] < n_valid)
+    ids = col_ids if col_ids is not None else \
+        jnp.arange(width, dtype=self_ids.dtype)
+    cand = (gj > 0) & (ids[None, :] != self_ids[:, None]) \
+        & (ids[None, :] < n_valid)
     if simtype == "dotp":
         sim = gj
     elif simtype == "cos":
         sim = gj / jnp.maximum(cnorms[None, :], 1e-30)
     elif simtype == "jac":
-        denom = cnorms[None, :] + jnp.take(
-            cnorms, jnp.clip(self_ids, 0, npad - 1))[:, None] - gj
+        selfn = self_norms if self_norms is not None else jnp.take(
+            cnorms, jnp.clip(self_ids, 0, width - 1))
+        denom = cnorms[None, :] + selfn[:, None] - gj
         sim = gj / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
     else:
         raise ValueError(f"unknown simtype {simtype!r}")
     sim = jnp.where(cand, sim, -jnp.inf)
-    k = max(1, min(int(nnbrs), npad))
-    vals, ids = jax.lax.top_k(sim, k)
+    k = max(1, min(int(nnbrs), width))
+    vals, ids_k = jax.lax.top_k(sim, k)
     valid = jnp.isfinite(vals)
-    return jnp.zeros((B, npad), bool).at[
-        jnp.arange(B)[:, None], ids].max(valid)
+    return jnp.zeros((B, width), bool).at[
+        jnp.arange(B)[:, None], ids_k].max(valid)
 
 
 @functools.partial(
@@ -107,19 +117,21 @@ def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def block_union_masks_batched(G, j_ids_all, l1r):
+@functools.partial(jax.jit, static_argnames=("fslim_nnbrs", "simtype"))
+def block_union_masks_batched(G, j_ids_all, l1r, fslim_nnbrs=0,
+                              simtype="cos"):
     """Union active sets for MANY blocks in one dispatch (vmapped
     :func:`block_union_mask` over the leading axis of ``j_ids_all``
     (nblocks, B)); returns (S_all (nblocks, npad), counts (nblocks,))."""
     def one(j_ids):
-        return block_union_mask(G, j_ids, l1r, G.shape[0])
+        return block_union_mask(G, j_ids, l1r, G.shape[0],
+                                fslim_nnbrs=fslim_nnbrs, simtype=simtype)
 
     return jax.vmap(one)(j_ids_all)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def block_union_mask(G, j_ids, l1r, K):
+@functools.partial(jax.jit, static_argnames=("K", "fslim_nnbrs", "simtype"))
+def block_union_mask(G, j_ids, l1r, K, fslim_nnbrs=0, simtype="cos"):
     """Screen a block and extract its union active set.
 
     Returns (S, union_count): S = (K,) compacted coordinate ids (ascending;
@@ -136,7 +148,11 @@ def block_union_mask(G, j_ids, l1r, K):
     B = gj.shape[0]
     l1v = jnp.broadcast_to(jnp.asarray(l1r, gj.dtype).reshape(-1), (B,))
     cols = jnp.arange(npad, dtype=j_ids.dtype)
-    active = (gj > l1v[:, None]) & (cols[None, :] != j_ids[:, None])
+    if fslim_nnbrs > 0:
+        active = fslim_active_mask(gj, jnp.diagonal(G), j_ids, npad,
+                                   fslim_nnbrs, simtype)
+    else:
+        active = (gj > l1v[:, None]) & (cols[None, :] != j_ids[:, None])
     u = jnp.any(active, axis=0)                        # (npad,)
     count = jnp.sum(u.astype(jnp.int32))
     # ascending active ids first: sort key puts active coords (key=idx)
@@ -148,16 +164,19 @@ def block_union_mask(G, j_ids, l1r, K):
     return S, count
 
 
-@functools.partial(jax.jit, static_argnames=("shuffle", "impl"))
+@functools.partial(
+    jax.jit, static_argnames=("shuffle", "impl", "fslim_nnbrs", "simtype"))
 def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
-                           l1r, l2r, optTol, seed, shuffle=True, impl="xla"):
+                           l1r, l2r, optTol, seed, shuffle=True, impl="xla",
+                           fslim_nnbrs=0, simtype="cos"):
     """Solve a block in the compacted coordinate space S (from
     :func:`block_union_mask`).
 
     Exact: coordinates outside S are inactive for every column of the
-    block, so restricting the solve to S changes nothing; per-sweep cost
-    drops from O(npad²) to O(K²).  ``x0s`` is the warm start already
-    gathered into compact space ((B, K)).
+    block (for FSLIM, S is the union of the per-column top-k sets, so the
+    restricted top-k returns the same sets), and restricting the solve to
+    S changes nothing; per-sweep cost drops from O(npad²) to O(K²).
+    ``x0s`` is the warm start already gathered into compact space ((B, K)).
     """
     npad = G.shape[0]
     B = j_ids.shape[0]
@@ -172,10 +191,14 @@ def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
     gjs = jnp.take(jnp.take(G, j_ids, axis=1).T, S, axis=1)  # (B, K)
     yty = jnp.take(diag_full, j_ids)
 
-    pos = jnp.arange(K, dtype=S.dtype)
     pad_mask = S != (npad - 1)                         # real compact coords
-    active_s = (gjs > l1v[:, None]) & (S[None, :] != j_ids[:, None]) \
-        & pad_mask[None, :]
+    if fslim_nnbrs > 0:
+        active_s = fslim_active_mask(
+            gjs, diag_s, j_ids, npad, fslim_nnbrs, simtype,
+            col_ids=S, self_norms=jnp.sqrt(yty)) & pad_mask[None, :]
+    else:
+        active_s = (gjs > l1v[:, None]) & (S[None, :] != j_ids[:, None]) \
+            & pad_mask[None, :]
 
     if impl == "pallas":
         from .pallas_cd import pallas_solve_core

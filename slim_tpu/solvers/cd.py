@@ -304,10 +304,10 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # fits VMEM (block size clamped to capacity), the XLA chunked kernel
     # otherwise (and on CPU, where Pallas would have to run interpreted)
     # Large catalogues: solve each block in its compacted union-active-set
-    # space (per-sweep cost O(K²) instead of O(npad²); exact, see
-    # ops/cd_kernel.block_union_mask).  FSLIM keeps the full-width path
-    # (its active sets are already nnbrs-bounded).
-    use_compact = npad > int(cfg.compact_threshold) and fslim_nnbrs == 0
+    # space (per-sweep cost O(K²) instead of O(npad²); exact for both the
+    # screening and FSLIM top-k active sets, see
+    # ops/cd_kernel.block_union_mask).
+    use_compact = npad > int(cfg.compact_threshold)
     if use_compact:
         # after frequency relabeling the unions are prefix-dominated, so
         # moderately large blocks are nearly free (the union barely grows
@@ -360,7 +360,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     if use_compact:
         j_all = np.stack([block_meta(blk)[2] for blk in range(nblocks)])
         S_all, counts = block_union_masks_batched(
-            g_dev, jnp.asarray(j_all), float(cfg.l1r))
+            g_dev, jnp.asarray(j_all), float(cfg.l1r),
+            fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
         counts_host = np.asarray(counts)
         for blk in range(nblocks):
             K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
@@ -392,7 +393,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 return cd_solve_block_compact(
                     g_dev, S, jnp.asarray(Jpad), jnp.asarray(caps), x0s,
                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                    int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im)
+                    int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im,
+                    fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
 
             out = _dispatch_with_fallback(run_compact, blk_impl,
                                           shape_key=(B, K))

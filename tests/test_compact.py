@@ -38,3 +38,14 @@ def test_compact_high_l1_small_unions(rng):
     cfg = SlimConfig(l1r=1e9, l2r=1.0, compact_threshold=128, block_size=16)
     model, stats = estimate_model_cd(mat, cfg)
     assert model.nnz == 0
+
+
+def test_compact_fslim_matches_full(rng):
+    mat = random_csr(rng, 60, 45, density=0.25, seed=150)
+    base = SlimConfig(l1r=0.2, l2r=0.5, nnbrs=4, simtype="cos",
+                      optTol=1e-12, block_size=16, shuffle=False)
+    full, sf = estimate_model_cd(mat, base.replace(compact_threshold=10**9))
+    comp, sc = estimate_model_cd(mat, base.replace(compact_threshold=128))
+    np.testing.assert_allclose(comp.to_scipy().toarray(),
+                               full.to_scipy().toarray(), atol=5e-4)
+    np.testing.assert_allclose(sc["loss"], sf["loss"], rtol=1e-4)
