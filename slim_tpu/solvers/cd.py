@@ -320,12 +320,17 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     impl = cfg.kernel
-    if impl == "auto" and not use_compact:
-        b_fit = pallas_max_block(npad, B) if on_tpu else 0
-        if b_fit >= 64:
-            impl, B = "pallas", b_fit
-        else:
+    if impl == "auto":
+        if use_compact:
+            # per-block impl is chosen from each block's union width; the
+            # full-width fallback (union == npad) never fits VMEM here
             impl = "xla"
+        else:
+            b_fit = pallas_max_block(npad, B) if on_tpu else 0
+            if b_fit >= 64:
+                impl, B = "pallas", b_fit
+            else:
+                impl = "xla"
 
     nblocks = (n + B - 1) // B
     zeros_x0 = None if use_warm else jnp.zeros((B, npad), dtype=jnp.float32)
