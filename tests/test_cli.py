@@ -74,3 +74,24 @@ def test_learn_cli_binarize_and_warmstart(data_files, capsys):
     rc = slim_learn.main(["-l1r=0.6", "-l2r=0.5", f"-ipmdlfile={m1}",
                           trn_f, m2])
     assert rc == 0
+
+
+def test_learn_cli_admm(data_files):
+    tmp_path, trn_f, _ = data_files
+    mdl_f = str(tmp_path / "admm.model")
+    rc = slim_learn.main(["-algo=admm", "-l1r=1.0", "-l2r=1.0", trn_f, mdl_f])
+    assert rc == 0
+    model = read_matrix(mdl_f, fmt="csr")
+    assert model.nnz > 0
+
+
+def test_learn_cli_fslim(data_files):
+    tmp_path, trn_f, _ = data_files
+    mdl_f = str(tmp_path / "fslim.model")
+    rc = slim_learn.main(["-nnbrs=3", "-simtype=jac", "-l1r=0.2",
+                          "-l2r=0.5", trn_f, mdl_f])
+    assert rc == 0
+    model = read_matrix(mdl_f, fmt="csr")
+    # FSLIM: each column supported on <= nnbrs coordinates
+    W = model.to_scipy().toarray()
+    assert (W > 0).sum(axis=0).max() <= 3
