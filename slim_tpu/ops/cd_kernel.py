@@ -106,6 +106,12 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
 
         return pallas_solve_core(G, gj, diag, active, x0, col_maxniters,
                                  yty, l1r, l2r, optTol, seed, shuffle=shuffle)
+    if impl == "pallas_large":
+        from .pallas_cd import pallas_solve_large_core
+
+        return pallas_solve_large_core(G, gj, diag, active, x0,
+                                       col_maxniters, yty, l1r, l2r, optTol,
+                                       seed, shuffle=shuffle)
     return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
@@ -206,6 +212,12 @@ def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
         return pallas_solve_core(Gs, gjs, diag_s, active_s, x0s,
                                  col_maxniters, yty, l1v, l2v, optTol, seed,
                                  shuffle=shuffle)
+    if impl == "pallas_large":
+        from .pallas_cd import pallas_solve_large_core
+
+        return pallas_solve_large_core(Gs, gjs, diag_s, active_s, x0s,
+                                       col_maxniters, yty, l1v, l2v, optTol,
+                                       seed, shuffle=shuffle)
     return _cd_core(Gs, gjs, diag_s, active_s, x0s, col_maxniters, yty,
                     l1v, l2v, optTol, seed, shuffle)
 

@@ -282,3 +282,254 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
     obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \
         + l1v * jnp.sum(jnp.abs(x), axis=1)
     return x, niters, converged, rnorm, obj
+
+
+# --------------------------------------------------------------------- #
+# panelized variant for large coordinate spaces
+# --------------------------------------------------------------------- #
+PANEL = 1024
+
+
+def _sweep_kernel_large(nchunks: int, npanels: int, B: int, npad: int,
+                        # scalar-prefetch refs
+                        perm_ref, has_ref,
+                        # pipelined per-chunk blocks
+                        gcc_ref,    # (C, C) diagonal block of G at perm[c]
+                        gj_ref,     # (B, C) target-Gram chunk
+                        act_ref,    # (B, C) int8 active chunk
+                        diag_ref,   # (1, C) Gram diagonal chunk
+                        # HBM operands
+                        g_hbm,      # (npad, npad) full G
+                        x_in_hbm,   # aliased with x_out
+                        q_in_hbm,   # aliased with q_out
+                        # small VMEM inputs
+                        live_in_ref, regs_ref,
+                        # outputs
+                        x_hbm, q_hbm, live_ref, nit_ref, dltx_ref,
+                        # scratch
+                        xloc_scr, qloc_scr, dx_scr, gpan_scr, qpan_scr,
+                        sems):
+    """One sweep with x and q resident in HBM (aliased in/out): each chunk
+    DMAs its (B,C) x/q tiles in, runs the unrolled Gauss-Seidel steps, and
+    streams the delta propagation over (C,PANEL) G panels and (B,PANEL) q
+    panels.  Grid steps execute sequentially on TPU, so the aliased
+    read-modify-write of q is hazard-free (validated by a dedicated
+    experiment).  Removes the whole-array VMEM capacity limit: npad is
+    bounded only by HBM."""
+    c = pl.program_id(0)
+    l1 = regs_ref[:, 0:1]
+    l2 = regs_ref[:, 1:2]
+    cap = regs_ref[:, 2:3]
+    t0 = regs_ref[:, 3:4]
+    opt_tol = regs_ref[:, 4:5]
+
+    @pl.when(c == 0)
+    def _():
+        live_ref[...] = live_in_ref[...]
+        dltx_ref[...] = jnp.zeros((B, 1), F32)
+        nit_ref[...] = live_in_ref[...]
+
+    @pl.when(has_ref[c] != 0)
+    def _():
+        base = pl.multiple_of(perm_ref[c] * CHUNK, CHUNK)
+        live = live_ref[...]
+        okf = act_ref[...].astype(F32) * live        # (B, C)
+        gjloc = gj_ref[...]
+        dloc = diag_ref[...]
+        gcc = gcc_ref[...]                           # (C, C)
+
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(base, CHUNK)], xloc_scr, sems.at[0])
+        cp_q = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(base, CHUNK)], qloc_scr, sems.at[1])
+        cp_x.start()
+        cp_q.start()
+        cp_x.wait()
+        cp_q.wait()
+
+        xloc = xloc_scr[...]
+        ql = qloc_scr[...]
+        deltas = []
+        for ci in range(CHUNK):
+            gcol = gjloc[:, ci:ci + 1]
+            qcol = ql[:, ci:ci + 1]
+            xcol = xloc[:, ci:ci + 1]
+            ok = okf[:, ci:ci + 1]
+            di = dloc[0, ci]
+            num = gcol - qcol + di * xcol
+            cand = jnp.maximum(num - l1, 0.0) / (di + l2)
+            delta = ok * (cand - xcol)
+            ql = ql + delta * gcc[ci:ci + 1, :]
+            deltas.append(delta)
+        dx = jnp.concatenate(deltas, axis=1)
+        dx_scr[...] = dx
+        xloc_scr[...] = xloc + dx
+        cp_xo = pltpu.make_async_copy(
+            xloc_scr, x_hbm.at[:, pl.ds(base, CHUNK)], sems.at[0])
+        cp_xo.start()
+        cp_xo.wait()
+        dltx_ref[...] += jnp.sum(dx * dx, axis=1, keepdims=True)
+
+        # propagate dx to q panel by panel: q[:, p] += dx @ G[chunk, p]
+        def pan_body(pb, _):
+            off = pb * PANEL
+            cp_g = pltpu.make_async_copy(
+                g_hbm.at[pl.ds(base, CHUNK), pl.ds(off, PANEL)],
+                gpan_scr, sems.at[2])
+            cp_qp = pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(off, PANEL)], qpan_scr, sems.at[3])
+            cp_g.start()
+            cp_qp.start()
+            cp_g.wait()
+            cp_qp.wait()
+            qpan_scr[...] += jnp.dot(dx_scr[...], gpan_scr[...],
+                                     preferred_element_type=F32)
+            cp_out = pltpu.make_async_copy(
+                qpan_scr, q_hbm.at[:, pl.ds(off, PANEL)], sems.at[3])
+            cp_out.start()
+            cp_out.wait()
+            return 0
+
+        jax.lax.fori_loop(0, npanels, pan_body, 0)
+
+    @pl.when(c == nchunks - 1)
+    def _():
+        dl = dltx_ref[...]
+        sweeps_done = t0 + 1.0
+        keep = jnp.where(dl < opt_tol, 0.0, 1.0) \
+            * jnp.where(sweeps_done < cap, 1.0, 0.0)
+        live_ref[...] = live_ref[...] * keep
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_cd_sweep_large(G, gj, act_i8, x, q, live_f32, diag2d, regs,
+                          chunkperm, haschunk, interpret=False):
+    """One CD sweep with HBM-resident x/q (arbitrary npad).  Same contract
+    as :func:`pallas_cd_sweeps` with R=1."""
+    B, npad = gj.shape
+    nchunks = npad // CHUNK
+    npanels = npad // PANEL
+    assert npad % PANEL == 0, "bucket npad to a PANEL multiple"
+    kernel = functools.partial(_sweep_kernel_large, nchunks, npanels, B,
+                               npad)
+
+    def chunk_cols(c, perm, has):
+        return (0, perm[c])
+
+    def gcc_map(c, perm, has):
+        return (perm[c], perm[c])
+
+    def whole(c, perm, has):
+        return (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, CHUNK), gcc_map),    # Gcc
+            pl.BlockSpec((B, CHUNK), chunk_cols),     # gj chunk
+            pl.BlockSpec((B, CHUNK), chunk_cols),     # act chunk
+            pl.BlockSpec((1, CHUNK), chunk_cols),     # diag chunk
+            pl.BlockSpec(memory_space=pltpu.HBM),     # G (full)
+            pl.BlockSpec(memory_space=pltpu.HBM),     # x (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),     # q (aliased)
+            pl.BlockSpec((B, 1), whole),              # live in
+            pl.BlockSpec((B, 5), whole),              # regs
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # x out
+            pl.BlockSpec(memory_space=pltpu.HBM),     # q out
+            pl.BlockSpec((B, 1), whole),              # live out
+            pl.BlockSpec((B, 1), whole),              # niters delta
+            pl.BlockSpec((B, 1), whole),              # dltx
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, CHUNK), F32),              # x tile
+            pltpu.VMEM((B, CHUNK), F32),              # q tile
+            pltpu.VMEM((B, CHUNK), F32),              # dx
+            pltpu.VMEM((CHUNK, PANEL), F32),          # G panel
+            pltpu.VMEM((B, PANEL), F32),              # q panel
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    xo, qo, lo, nit, dl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, npad), F32),
+            jax.ShapeDtypeStruct((B, npad), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+        ],
+        input_output_aliases={7: 0, 8: 1},  # x, q (indices incl. scalars)
+        interpret=interpret,
+    )(chunkperm, haschunk, G, gj, act_i8, diag2d, G, x, q, live_f32, regs)
+    return xo, qo, lo, nit, dl
+
+
+def pallas_large_supported(B: int, npad: int) -> bool:
+    """The panelized kernel needs only tiles in VMEM; npad must be a
+    PANEL multiple and B a 32-multiple (int8 blocks)."""
+    vmem = (3 * B * CHUNK + CHUNK * PANEL + B * PANEL
+            + 4 * B * CHUNK + CHUNK * CHUNK * 2) * 4 * 2.2
+    return (npad % PANEL == 0 and B % 32 == 0
+            and vmem < 15 * 1024 * 1024)
+
+
+def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
+                            l1r, l2r, optTol, seed, shuffle=True,
+                            interpret=False):
+    """Block solve on the panelized kernel (HBM-resident x/q): JAX while
+    over sweeps, per-column convergence in-kernel, q recomputed exactly
+    every sweep."""
+    B, npad = gj.shape
+    nchunks = npad // CHUNK
+    act_i8 = active.astype(jnp.int8)
+    act_f = active.astype(F32)
+    diag2d = diag.reshape(1, npad).astype(F32)
+    l1v = jnp.broadcast_to(jnp.asarray(l1r, F32).reshape(-1), (B,))
+    l2v = jnp.broadcast_to(jnp.asarray(l2r, F32).reshape(-1), (B,))
+    caps_f = col_maxniters.astype(F32)
+    key = jax.random.PRNGKey(seed)
+    x0 = jnp.where(active, x0.astype(F32), 0.0)
+    tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
+    live0 = (jnp.any(active, axis=1)
+             & (col_maxniters > 0)).astype(F32)[:, None]
+
+    def cond(carry):
+        x, live, niters, t = carry
+        return (t < tmax) & jnp.any(live > 0)
+
+    def body(carry):
+        x, live, niters, t = carry
+        tkey = jax.random.fold_in(key, t)
+        if shuffle:
+            perm = jax.random.permutation(tkey, nchunks).astype(jnp.int32)
+        else:
+            perm = jnp.arange(nchunks, dtype=jnp.int32)
+        chunk_any = (jnp.sum(act_f * live, axis=0)
+                     .reshape(nchunks, CHUNK).sum(axis=1) > 0)
+        has = jnp.take(chunk_any, perm).astype(jnp.int32)
+        regs = jnp.stack(
+            [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
+             jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=1)
+        q = jnp.dot(x, G, preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST)
+        xn, qn, liven, nit_d, _ = pallas_cd_sweep_large(
+            G, gj, act_i8, x, q, live, diag2d, regs, perm, has,
+            interpret=interpret)
+        return xn, liven, niters + nit_d[:, 0], t + 1
+
+    x, live, niters_f, t = jax.lax.while_loop(
+        cond, body, (x0, live0, jnp.zeros(B, F32), jnp.zeros((), jnp.int32)))
+
+    niters = niters_f.astype(jnp.int32)
+    converged = (live[:, 0] == 0) & (niters < col_maxniters)
+    q = jnp.dot(x, G, preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST)
+    rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
+                   + jnp.sum(x * q, axis=1))
+    obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \
+        + l1v * jnp.sum(jnp.abs(x), axis=1)
+    return x, niters, converged, rnorm, obj

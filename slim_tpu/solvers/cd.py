@@ -237,14 +237,15 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
     fall back to the XLA kernel for the block.  Failed shapes are
     remembered on disk: jit does not cache failures, so retrying would pay
     the (remote) compile round trip for every block of every run."""
-    if impl != "pallas" or shape_key in _load_failed_shapes():
-        return run("xla" if impl == "pallas" else impl)
+    pallas_like = impl in ("pallas", "pallas_large")
+    if not pallas_like or shape_key in _load_failed_shapes():
+        return run("xla" if pallas_like else impl)
     try:
-        return run("pallas")
+        return run(impl)
     except Exception as e:  # compile-time failure surfaces at dispatch
-        logger.warning("pallas kernel unavailable for block shape %s "
-                       "(%s); falling back to the XLA kernel", shape_key,
-                       str(e).splitlines()[0][:120])
+        logger.warning("%s kernel unavailable for block shape %s "
+                       "(%s); falling back to the XLA kernel", impl,
+                       shape_key, str(e).splitlines()[0][:120])
         _record_failed_shape(shape_key)
         return run("xla")
 
@@ -318,19 +319,28 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     from ..ops.pallas_cd import pallas_max_block
 
+    from ..ops.pallas_cd import PANEL, pallas_large_supported
+
+    def pick_impl(width, b):
+        """Kernel for a given coordinate width: whole-array Pallas when it
+        fits VMEM, the panelized HBM-resident Pallas for wide spaces, XLA
+        otherwise (and always on CPU)."""
+        if not on_tpu:
+            return "xla", b
+        b_fit = pallas_max_block(width, b)
+        if b_fit >= 64:
+            return "pallas", b_fit
+        if width % PANEL == 0 and pallas_large_supported(b, width):
+            return "pallas_large", b
+        return "xla", b
+
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     impl = cfg.kernel
     if impl == "auto":
         if use_compact:
-            # per-block impl is chosen from each block's union width; the
-            # full-width fallback (union == npad) never fits VMEM here
-            impl = "xla"
+            impl = "auto"  # resolved per block from its union width
         else:
-            b_fit = pallas_max_block(npad, B) if on_tpu else 0
-            if b_fit >= 64:
-                impl, B = "pallas", b_fit
-            else:
-                impl = "xla"
+            impl, B = pick_impl(npad, B)
 
     nblocks = (n + B - 1) // B
     zeros_x0 = None if use_warm else jnp.zeros((B, npad), dtype=jnp.float32)
@@ -391,8 +401,9 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             x0s = jnp.take(x0, S, axis=1)
             blk_impl = cfg.kernel
             if blk_impl == "auto":
-                blk_impl = "pallas" if (on_tpu and
-                                        pallas_max_block(K, B) >= B) else "xla"
+                blk_impl, _ = pick_impl(K, B)
+                if blk_impl == "pallas" and pallas_max_block(K, B) < B:
+                    blk_impl = "xla"
 
             def run_compact(im):
                 return cd_solve_block_compact(
@@ -413,7 +424,13 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                     fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype,
                     impl=im)
 
-            out = _dispatch_with_fallback(run_full, impl,
+            blk_impl = impl
+            if blk_impl == "auto":  # compact-mode full-width fallback
+                blk_impl, _ = pick_impl(npad, B)
+                if blk_impl == "pallas" and pallas_max_block(npad, B) < B:
+                    blk_impl = "xla"
+
+            out = _dispatch_with_fallback(run_full, blk_impl,
                                           shape_key=(B, npad))
             pending.append((nJ, out, None))
 

@@ -54,3 +54,38 @@ def test_pallas_capacity_model():
     b = pallas_max_block(1792)
     assert b % 32 == 0 and pallas_supported(b, 1792)
     assert pallas_max_block(128) >= 256  # tiny problems allow big blocks
+
+
+def test_pallas_large_kernel_matches_xla():
+    """Panelized (HBM-resident x/q) kernel in interpret mode vs XLA."""
+    from slim_tpu.ops.pallas_cd import pallas_solve_large_core, PANEL
+    import jax
+
+    # npad must be a PANEL multiple: use 1024 with a 60-column problem
+    rng = np.random.default_rng(3)
+    mat = random_csr(rng, 80, 60, density=0.25, seed=3)
+    npad = PANEL
+    G = compute_gram(mat, "host", pad_to=npad)
+    diag = jnp.diagonal(G)
+    csc = mat.transpose()
+    caps = np.minimum(50 * csc.row_nnz(), 10000).astype(np.int32)
+    B = 32
+    J = np.arange(B, dtype=np.int32) % 60
+    gj = jnp.take(G, jnp.asarray(J), axis=1).T
+    cols = jnp.arange(npad, dtype=jnp.int32)
+    active = (gj > 0.3) & (cols[None, :] != jnp.asarray(J)[:, None])
+    yty = jnp.take(diag, jnp.asarray(J))
+    x0 = jnp.zeros((B, npad), jnp.float32)
+    capsJ = jnp.asarray(caps[J])
+
+    out_l = jax.jit(pallas_solve_large_core, static_argnames=(
+        "shuffle", "interpret"))(
+        G, gj, diag, active, x0, capsJ, yty, 0.3, 0.5, 1e-10, 5,
+        shuffle=False, interpret=True)
+    from slim_tpu.ops.cd_kernel import cd_solve_block
+    out_x = cd_solve_block(G, gj, diag, active, x0, capsJ, yty,
+                           0.3, 0.5, 1e-10, 5, shuffle=False)
+    np.testing.assert_allclose(np.asarray(out_l[0]), np.asarray(out_x[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_l[4]), np.asarray(out_x[4]),
+                               rtol=1e-4)
