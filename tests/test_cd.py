@@ -168,3 +168,16 @@ def test_fslim_restricts_support():
         x_ref = oracle_column(mat.to_dense(), j, 0.1, 0.5,
                               active_override=top)
         np.testing.assert_allclose(W[:, j], x_ref, atol=5e-4)
+
+
+def test_cd_deterministic_across_runs():
+    """Same seed => bitwise-identical model (the reference is
+    nondeterministic via shared-state rand(); we claim reproducibility)."""
+    rng = np.random.default_rng(23)
+    mat = random_csr(rng, 40, 18, density=0.3, seed=23)
+    cfg = SlimConfig(l1r=0.4, l2r=0.6, seed=7)
+    m1, s1 = estimate_model_cd(mat, cfg)
+    m2, s2 = estimate_model_cd(mat, cfg)
+    np.testing.assert_array_equal(m1.to_scipy().toarray(),
+                                  m2.to_scipy().toarray())
+    assert s1["loss"] == s2["loss"]
