@@ -469,12 +469,23 @@ def pallas_cd_sweep_large(G, gj, act_i8, x, q, live_f32, diag2d, regs,
 
 
 def pallas_large_supported(B: int, npad: int) -> bool:
-    """The panelized kernel needs only tiles in VMEM; npad must be a
-    PANEL multiple and B a 32-multiple (int8 blocks)."""
-    vmem = (3 * B * CHUNK + CHUNK * PANEL + B * PANEL
-            + 4 * B * CHUNK + CHUNK * CHUNK * 2) * 4 * 2.2
+    """Viable domain of the panelized kernel.  Empirically this Mosaic
+    version places the aliased x/q outputs in VMEM regardless of the HBM
+    out_specs, so 2·B·npad f32 must fit alongside the tile scratch
+    (measured: (128, 12288) compiles, (256, 4096) does not)."""
+    vmem = 2 * B * npad * 4 \
+        + (B * PANEL + CHUNK * PANEL + 4 * B * CHUNK
+           + 2 * CHUNK * CHUNK) * 4 * 2
     return (npad % PANEL == 0 and B % 32 == 0
-            and vmem < 15 * 1024 * 1024)
+            and vmem < 14 * 1024 * 1024)
+
+
+def pallas_large_max_block(npad: int, cap: int = 256) -> int:
+    """Largest B the panelized kernel supports for this npad (0 = none)."""
+    b = max((cap // 32) * 32, 32)
+    while b >= 32 and not pallas_large_supported(b, npad):
+        b -= 32
+    return b if b >= 32 else 0
 
 
 def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,

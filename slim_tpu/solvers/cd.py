@@ -309,17 +309,24 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # screening and FSLIM top-k active sets, see
     # ops/cd_kernel.block_union_mask).
     use_compact = npad > int(cfg.compact_threshold)
-    if use_compact:
-        # after frequency relabeling the unions are prefix-dominated, so
-        # moderately large blocks are nearly free (the union barely grows
-        # with B) and amortise the per-block gathers and sweeps
-        B = min(B, 256)
 
     import jax
 
-    from ..ops.pallas_cd import pallas_max_block
+    from ..ops.pallas_cd import (PANEL, pallas_large_max_block,
+                                 pallas_large_supported, pallas_max_block)
 
-    from ..ops.pallas_cd import PANEL, pallas_large_supported
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    if use_compact:
+        # after frequency relabeling the unions are prefix-dominated, so
+        # moderately large blocks are nearly free (the union barely grows
+        # with B) and amortise the per-block gathers and sweeps.  On TPU,
+        # clamp B so the panelized kernel stays viable for the full-width
+        # head blocks (whose unions cover the whole space).
+        if on_tpu:
+            bl = pallas_large_max_block(npad, min(B, 256))
+            B = bl if bl >= 64 else min(B, 256)
+        else:
+            B = min(B, 256)
 
     def pick_impl(width, b):
         """Kernel for a given coordinate width: whole-array Pallas when it
@@ -334,7 +341,6 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             return "pallas_large", b
         return "xla", b
 
-    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     impl = cfg.kernel
     if impl == "auto":
         if use_compact:
