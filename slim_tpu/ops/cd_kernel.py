@@ -126,14 +126,61 @@ def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
 @functools.partial(jax.jit, static_argnames=("fslim_nnbrs", "simtype"))
 def block_union_masks_batched(G, j_ids_all, l1r, fslim_nnbrs=0,
                               simtype="cos"):
-    """Union active sets for MANY blocks in one dispatch (vmapped
-    :func:`block_union_mask` over the leading axis of ``j_ids_all``
-    (nblocks, B)); returns (S_all (nblocks, npad), counts (nblocks,))."""
-    def one(j_ids):
-        return block_union_mask(G, j_ids, l1r, G.shape[0],
-                                fslim_nnbrs=fslim_nnbrs, simtype=simtype)
+    """Union active sets for MANY blocks in one dispatch; returns
+    (S_all (nblocks, npad), counts (nblocks,)).
 
-    return jax.vmap(one)(j_ids_all)
+    When blocks are consecutive column ranges (the driver's layout after
+    frequency relabeling) the screening unions reduce to one slice-reduce
+    pass over G -- no per-block column gathers.  FSLIM unions need the
+    per-block top-k machinery, so they vmap :func:`block_union_mask`.
+    """
+    nblocks, B = j_ids_all.shape
+    npad = G.shape[0]
+    consecutive = jnp.all(
+        j_ids_all[:, 0][:, None] + jnp.arange(B)[None, :]
+        == jnp.where(j_ids_all == npad - 1,
+                     j_ids_all[:, 0][:, None] + jnp.arange(B)[None, :],
+                     j_ids_all))
+
+    if fslim_nnbrs > 0:
+        def one(j_ids):
+            return block_union_mask(G, j_ids, l1r, npad,
+                                    fslim_nnbrs=fslim_nnbrs, simtype=simtype)
+
+        return jax.vmap(one)(j_ids_all)
+
+    # screening unions via one pass over G: u[i, b] = does any column j of
+    # block b (j != i) have G[i, j] > l1r?
+    total = nblocks * B
+    Gb = jax.lax.dynamic_slice(G, (0, 0), (npad, min(total, npad)))
+    pad_cols = total - Gb.shape[1]
+    if pad_cols > 0:
+        Gb = jnp.pad(Gb, ((0, 0), (0, pad_cols)))
+    over = (Gb > jnp.asarray(l1r, G.dtype)).reshape(npad, nblocks, B)
+    cnt = jnp.sum(over, axis=2)                       # (npad, nblocks)
+    rows = jnp.arange(npad)
+    # remove the self term when coordinate i's own column is in block b
+    self_block = rows // B                            # block of column i
+    self_over = jnp.diagonal(G) > jnp.asarray(l1r, G.dtype)
+    self_term = (jnp.arange(nblocks)[None, :] == self_block[:, None]) \
+        & self_over[:, None] & (rows < min(total, npad))[:, None]
+    u = (cnt - self_term.astype(cnt.dtype)) > 0       # (npad, nblocks)
+
+    counts = jnp.sum(u.astype(jnp.int32), axis=0)     # (nblocks,)
+    cols = jnp.arange(npad, dtype=j_ids_all.dtype)
+    key = jnp.where(u.T, cols[None, :], cols[None, :] + npad)
+    order = jnp.argsort(key, axis=1)
+    pos = jnp.arange(npad, dtype=j_ids_all.dtype)
+    S_all = jnp.where(pos[None, :] < counts[:, None],
+                      order.astype(j_ids_all.dtype), npad - 1)
+    # fall back to the exact per-block path if the layout assumption is
+    # ever violated (defensive; the driver always passes consecutive ids)
+    def vmapped(_):
+        return jax.vmap(lambda j: block_union_mask(G, j, l1r, npad))(
+            j_ids_all)
+
+    return jax.lax.cond(consecutive, lambda _: (S_all, counts), vmapped,
+                        operand=None)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "fslim_nnbrs", "simtype"))

@@ -26,15 +26,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def gram_host(mat: CSR, pad_to: int | None = None) -> np.ndarray:
-    """Sparse Gram on the host (scipy SpGEMM; C-speed, exploits sparsity).
+    """Sparse Gram on the host (C-speed, exploits sparsity).
 
     Cost is Σᵤ nnzᵤ² -- orders of magnitude below the dense-matmul FLOP
     count when the matrix is very sparse, so this wins for huge sparse
     inputs where even the MXU would grind through mostly-zero tiles.
+    Uses the native OpenMP kernel (writes straight into the padded
+    buffer, no intermediate copies); scipy SpGEMM as fallback.
     """
+    n = pad_to if pad_to is not None else mat.ncols
+    try:
+        from .. import native
+
+        if native.available():
+            return native.gram_dense(mat, pad_to=n)
+    except Exception:
+        pass
     sp = mat.to_scipy()
     g = (sp.T @ sp).toarray().astype(np.float32)
-    n = pad_to if pad_to is not None else mat.ncols
     if n != mat.ncols:
         out = np.zeros((n, n), dtype=np.float32)
         out[:mat.ncols, :mat.ncols] = g

@@ -21,7 +21,8 @@ import logging
 
 import numpy as np
 
-from ..config import SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS, dbg
+from ..config import (SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS,
+                      SLIM_DBG_TIME, dbg)
 from ..ops.cd_kernel import (block_union_mask, block_union_masks_batched,
                              cd_solve_block_compact, cd_solve_block_ids)
 from ..ops.gram import compute_gram
@@ -259,7 +260,15 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     estimate.c:570-593) and stats carries loss/objective/nnz totals
     (printed by the reference at estimate.c:552-555).
     """
+    import time as _time
+
     import jax.numpy as jnp
+
+    _t0 = _time.perf_counter()
+    _marks = []
+
+    def _mark(name):
+        _marks.append((name, _time.perf_counter() - _t0))
 
     n = train.ncols
     npad = bucket_npad(n)
@@ -292,6 +301,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         g_dev = compute_gram(train_p, cfg.gram, pad_to=npad)
 
     caps_p = col_caps[p]
+    _mark("gram+setup")
 
     # warm start source: dense columns of imodel (estimate.c:453-464).
     # FSLIM ignores the warm start (the active-flag handshake in
@@ -388,6 +398,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
             union_S[blk] = (K, S_all[blk, :K])
 
+    _mark("unions")
+
     # phase 2: dispatch all block solves asynchronously; harvest at the
     # end so the device queue stays full (no host sync between blocks)
     pending = []
@@ -439,6 +451,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             out = _dispatch_with_fallback(run_full, blk_impl,
                                           shape_key=(B, npad))
             pending.append((nJ, out, None))
+
+    _mark("dispatch")
 
     # single concatenated device->host fetch per block-width group
     # (per-array round trips cost ~40ms each through tunneled TPU setups;
@@ -513,6 +527,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         total_obj += blk_obj
         total_niters += blk_nit
 
+    _mark("harvest")
+
     # assemble the model CSR (SaveModel, estimate.c:570-593)
     model = CSR.from_ijv(
         np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
@@ -527,6 +543,14 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         "nnz": model.nnz,
         "niters": total_niters,
     }
+    _mark("assembly")
+    if dbg(cfg, SLIM_DBG_TIME):
+        prev = 0.0
+        parts = []
+        for name, tm in _marks:
+            parts.append(f"{name} {tm - prev:.2f}s")
+            prev = tm
+        logger.info("cd phases: %s", "  ".join(parts))
     if dbg(cfg, SLIM_DBG_INFO):
         logger.info(
             "Done estimation: loss: %.5e, fit: %.5e, ffrac: %.3f,  #nzs: %d",
