@@ -46,6 +46,8 @@ def learn(train: CSR, cfg: Optional[SlimConfig] = None,
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if isinstance(cfg, dict):
+        cfg = SlimConfig.from_dict(cfg)
     cfg = cfg or SlimConfig()
     t_total = time.perf_counter()
     tmat = setup_training_matrix(train)

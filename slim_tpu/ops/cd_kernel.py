@@ -126,61 +126,59 @@ def cd_solve_block(G, gj, diag, active, x0, col_maxniters, yty,
 @functools.partial(jax.jit, static_argnames=("fslim_nnbrs", "simtype"))
 def block_union_masks_batched(G, j_ids_all, l1r, fslim_nnbrs=0,
                               simtype="cos"):
-    """Union active sets for MANY blocks in one dispatch; returns
-    (S_all (nblocks, npad), counts (nblocks,)).
+    """Union active sets for MANY blocks in one dispatch (vmapped
+    :func:`block_union_mask` over (nblocks, B) column ids); returns
+    (S_all (nblocks, npad), counts (nblocks,))."""
+    def one(j_ids):
+        return block_union_mask(G, j_ids, l1r, G.shape[0],
+                                fslim_nnbrs=fslim_nnbrs, simtype=simtype)
 
-    When blocks are consecutive column ranges (the driver's layout after
-    frequency relabeling) the screening unions reduce to one slice-reduce
-    pass over G -- no per-block column gathers.  FSLIM unions need the
-    per-block top-k machinery, so they vmap :func:`block_union_mask`.
+    return jax.vmap(one)(j_ids_all)
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def pack_topm(x, eps, M):
+    """Device-side model compaction for the harvest fetch.
+
+    x (B, K) is a block's nonneg solution.  Returns one packed f32 array
+    (B, 2M+1): [top-M values desc | their coords (exact in f32 for coords
+    < 2²⁴) | count of entries > eps].  The host keeps entries with value >
+    eps; if some column's count exceeds M the caller falls back to a full
+    fetch for that block.  Cuts the device->host harvest volume from K to
+    ~2M+1 floats per column (the reference keeps entries > EPSILON=1e-7,
+    slim.h:61, so models are far sparser than K).
     """
-    nblocks, B = j_ids_all.shape
+    vals, idx = jax.lax.top_k(x, M)
+    cnt = jnp.sum(x > eps, axis=1, dtype=jnp.int32)
+    return jnp.concatenate(
+        [vals, idx.astype(jnp.float32), cnt[:, None].astype(jnp.float32)],
+        axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "B"))
+def block_union_flags(G, nblocks, B, l1r):
+    """Screening-union membership flags for consecutive-rank blocks in one
+    slice-reduce pass over G (no per-block gathers, no device argsorts).
+
+    Returns u (nblocks, npad) bool: u[b, i] = coordinate i is active for
+    some column of block b (columns [b*B, (b+1)*B), self excluded).  The
+    driver fetches u in a single small transfer and builds the compacted
+    index lists on the host.
+    """
     npad = G.shape[0]
-    consecutive = jnp.all(
-        j_ids_all[:, 0][:, None] + jnp.arange(B)[None, :]
-        == jnp.where(j_ids_all == npad - 1,
-                     j_ids_all[:, 0][:, None] + jnp.arange(B)[None, :],
-                     j_ids_all))
-
-    if fslim_nnbrs > 0:
-        def one(j_ids):
-            return block_union_mask(G, j_ids, l1r, npad,
-                                    fslim_nnbrs=fslim_nnbrs, simtype=simtype)
-
-        return jax.vmap(one)(j_ids_all)
-
-    # screening unions via one pass over G: u[i, b] = does any column j of
-    # block b (j != i) have G[i, j] > l1r?
     total = nblocks * B
-    Gb = jax.lax.dynamic_slice(G, (0, 0), (npad, min(total, npad)))
-    pad_cols = total - Gb.shape[1]
-    if pad_cols > 0:
-        Gb = jnp.pad(Gb, ((0, 0), (0, pad_cols)))
+    Gb = G[:, :min(total, npad)]
+    if total > npad:
+        Gb = jnp.pad(Gb, ((0, 0), (0, total - npad)))
     over = (Gb > jnp.asarray(l1r, G.dtype)).reshape(npad, nblocks, B)
     cnt = jnp.sum(over, axis=2)                       # (npad, nblocks)
     rows = jnp.arange(npad)
     # remove the self term when coordinate i's own column is in block b
-    self_block = rows // B                            # block of column i
+    self_block = rows // B
     self_over = jnp.diagonal(G) > jnp.asarray(l1r, G.dtype)
     self_term = (jnp.arange(nblocks)[None, :] == self_block[:, None]) \
         & self_over[:, None] & (rows < min(total, npad))[:, None]
-    u = (cnt - self_term.astype(cnt.dtype)) > 0       # (npad, nblocks)
-
-    counts = jnp.sum(u.astype(jnp.int32), axis=0)     # (nblocks,)
-    cols = jnp.arange(npad, dtype=j_ids_all.dtype)
-    key = jnp.where(u.T, cols[None, :], cols[None, :] + npad)
-    order = jnp.argsort(key, axis=1)
-    pos = jnp.arange(npad, dtype=j_ids_all.dtype)
-    S_all = jnp.where(pos[None, :] < counts[:, None],
-                      order.astype(j_ids_all.dtype), npad - 1)
-    # fall back to the exact per-block path if the layout assumption is
-    # ever violated (defensive; the driver always passes consecutive ids)
-    def vmapped(_):
-        return jax.vmap(lambda j: block_union_mask(G, j, l1r, npad))(
-            j_ids_all)
-
-    return jax.lax.cond(consecutive, lambda _: (S_all, counts), vmapped,
-                        operand=None)
+    return ((cnt - self_term.astype(cnt.dtype)) > 0).T   # (nblocks, npad)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "fslim_nnbrs", "simtype"))

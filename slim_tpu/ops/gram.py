@@ -96,13 +96,71 @@ def gram_device(mat: CSR, pad_to: int | None = None, row_block: int = 8192):
     return g
 
 
+_gram_sparse_fns: dict = {}
+
+
+def _get_gram_sparse(nrb: int, rb: int, npad: int):
+    """Jitted sparse-to-Gram kernel, cached per (nrb, rb, npad).
+
+    Scatter-densifies each row block ON DEVICE from the (row, col, val)
+    triplets (entries outside the block are routed to a trash row so the
+    in-block indices stay unique for a fast scatter), then accumulates
+    G += blkᵀ·blk on the MXU with exact f32.
+    """
+    key = (nrb, rb, npad)
+    fn = _gram_sparse_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def gram_sparse(rows, cols, vals):
+            def body(g, k):
+                lr = rows - k * rb
+                inside = (lr >= 0) & (lr < rb)
+                lr = jnp.where(inside, lr, rb)
+                blk = jnp.zeros((rb + 1, npad), jnp.float32)
+                blk = blk.at[lr, cols].add(vals, unique_indices=True)
+                blk = blk[:rb]
+                return g + jnp.dot(
+                    blk.T, blk, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), None
+
+            g0 = jnp.zeros((npad, npad), jnp.float32)
+            g, _ = jax.lax.scan(body, g0, jnp.arange(nrb))
+            return g
+
+        fn = _gram_sparse_fns[key] = gram_sparse
+    return fn
+
+
+def gram_device_sparse(mat: CSR, pad_to: int | None = None,
+                       row_block: int = 8192):
+    """Device Gram that transfers only the sparse triplets (~12·nnz bytes
+    instead of n²·4 for the host path or nrows·n·4 for dense row blocks) --
+    the winning path when host↔device bandwidth is the bottleneck (this
+    machine's TPU tunnel moves ~100-200 MB/s)."""
+    import jax.numpy as jnp
+
+    n = pad_to if pad_to is not None else mat.ncols
+    n = _round_up(max(n, 1), 128)
+    nrb = max((mat.nrows + row_block - 1) // row_block, 1)
+    rows = np.repeat(np.arange(mat.nrows, dtype=np.int32),
+                     np.diff(mat.indptr).astype(np.int64))
+    fn = _get_gram_sparse(nrb, row_block, n)
+    return fn(jnp.asarray(rows), jnp.asarray(mat.indices.astype(np.int32)),
+              jnp.asarray(mat.values()))
+
+
 def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     """Compute G, returning a device array padded to ``pad_to`` (multiple of
     128 recommended).
 
-    mode='auto' picks the host SpGEMM when the matrix is very sparse and
-    large (dense matmul would be >100× wasted FLOPs) and the device path
-    otherwise.
+    mode='auto' minimises an explicit cost model: host SpGEMM pays the
+    sparse ops plus an n²·4-byte G transfer; the device sparse path pays
+    the dense matmul FLOPs (mostly-zero tiles) plus a ~12·nnz-byte triplet
+    transfer and a scatter.  On tunnelled setups the transfer term
+    dominates and the device path wins even for very sparse matrices.
     """
     import jax.numpy as jnp
 
@@ -110,15 +168,17 @@ def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     if mode == "host":
         return jnp.asarray(gram_host(mat, pad_to=n))
     if mode == "device":
-        return gram_device(mat, pad_to=n)
+        return gram_device_sparse(mat, pad_to=n)
     if mode != "auto":
         raise ValueError(f"unknown gram mode {mode!r}")
 
-    # auto: estimate dense flops vs sparse ops
     dense_flops = 2.0 * mat.nrows * float(n) * float(n)
     nnz_per_row = mat.row_nnz().astype(np.float64)
     sparse_ops = float(np.sum(nnz_per_row ** 2))
-    # device matmul sustains ~1000x the per-op rate of host scalar code
-    if dense_flops > 2000.0 * max(sparse_ops, 1.0) or mat.nrows * n > 2**31:
+    bw = 150e6          # effective host->device bytes/s through the tunnel
+    t_host = sparse_ops / 2e8 + float(n) * n * 4 / bw
+    t_dev = (dense_flops / 1e13 + mat.nnz * 12.0 / bw
+             + mat.nnz / 5e7)                       # scatter term
+    if t_host < t_dev or mat.nrows * float(n) * n > 4e13:
         return jnp.asarray(gram_host(mat, pad_to=n))
-    return gram_device(mat, pad_to=n)
+    return gram_device_sparse(mat, pad_to=n)

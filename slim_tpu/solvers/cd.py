@@ -23,14 +23,17 @@ import numpy as np
 
 from ..config import (SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS,
                       SLIM_DBG_TIME, dbg)
-from ..ops.cd_kernel import (block_union_mask, block_union_masks_batched,
-                             cd_solve_block_compact, cd_solve_block_ids)
+from ..ops.cd_kernel import (block_union_flags, block_union_mask,
+                             block_union_masks_batched,
+                             cd_solve_block_compact, cd_solve_block_ids,
+                             pack_topm)
 from ..ops.gram import compute_gram
 from ..types import CSR
 
 logger = logging.getLogger("slim_tpu")
 
 EPSILON = 1e-7  # model nonzero threshold (reference def.h:14)
+HARVEST_TOPM = 1024  # top-M device-side compaction cap for wide harvests
 
 
 def bucket_npad(n: int) -> int:
@@ -388,7 +391,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # phase 1 (compact only): union active sets for every block, counts
     # fetched in one transfer, K bucketed per block for compile reuse
     union_S = {}
-    if use_compact:
+    if use_compact and fslim_nnbrs > 0:
         j_all = np.stack([block_meta(blk)[2] for blk in range(nblocks)])
         S_all, counts = block_union_masks_batched(
             g_dev, jnp.asarray(j_all), float(cfg.l1r),
@@ -397,6 +400,27 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         for blk in range(nblocks):
             K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
             union_S[blk] = (K, S_all[blk, :K])
+    elif use_compact:
+        # screening unions: one slice-reduce pass over G on device, the
+        # (nblocks, npad) flag matrix fetched in a single small transfer,
+        # and the compacted index lists built on the host (device argsorts
+        # over npad-wide keys measured slower than this round trip)
+        u_host = np.asarray(block_union_flags(
+            g_dev, nblocks, B, float(cfg.l1r)))
+        s_host, by_K = {}, {}
+        for blk in range(nblocks):
+            ids = np.nonzero(u_host[blk])[0]
+            K = min(bucket_npad(max(ids.size, 1)), npad)
+            s = np.full(K, npad - 1, dtype=np.int32)
+            s[:min(ids.size, K)] = ids[:K].astype(np.int32)
+            s_host[blk] = s
+            by_K.setdefault(K, []).append(blk)
+        # one device_put per distinct K (each transfer costs ~40ms through
+        # the tunnel; per-block puts would dominate the phase)
+        for K, blks in by_K.items():
+            batch = jnp.asarray(np.stack([s_host[b] for b in blks]))
+            for i, blk in enumerate(blks):
+                union_S[blk] = (K, batch[i])
 
     _mark("unions")
 
@@ -468,8 +492,19 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     coord_ids, target_ids, vals = [], [], []
 
     for width, group in by_width.items():
-        X_all = np.asarray(jnp.concatenate(
-            [out[0] for _, _, out, _ in group], axis=0))
+        # model compaction ON DEVICE: for wide blocks fetch only the top-M
+        # entries + counts (~2M+1 floats/col) instead of the full width-K
+        # row -- the fetch, not the solve, dominates wide-block harvests
+        # on tunneled TPU setups
+        M = min(width, HARVEST_TOPM)
+        X_all = P_all = None
+        if M < width:
+            P_all = np.asarray(jnp.concatenate(
+                [pack_topm(out[0], EPSILON, M) for _, _, out, _ in group],
+                axis=0))
+        else:
+            X_all = np.asarray(jnp.concatenate(
+                [out[0] for _, _, out, _ in group], axis=0))
         stats_all = np.asarray(jnp.concatenate(
             [jnp.stack([out[1].astype(jnp.float32),
                         out[2].astype(jnp.float32),
@@ -479,15 +514,30 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         if group[0][3] is not None:
             S_all = np.asarray(jnp.stack([S for _, _, _, S in group]))
 
-        for k, (blk, nJ, _, _) in enumerate(group):
+        for k, (blk, nJ, out, _) in enumerate(group):
             r0 = blk * B
-            x_host = X_all[k * B:k * B + nJ]
             niters_h = stats_all[k * B:k * B + nJ, 0]
             rstatus_h = stats_all[k * B:k * B + nJ, 1]
             rnorm_h = stats_all[k * B:k * B + nJ, 2]
             obj_h = stats_all[k * B:k * B + nJ, 3]
 
-            rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
+            if P_all is not None:
+                sub = P_all[k * B:k * B + nJ]
+                cnt_h = sub[:, 2 * M]
+                if np.max(cnt_h, initial=0.0) <= M:
+                    vals_m = sub[:, :M]
+                    mask = vals_m > EPSILON
+                    rows, mcols = np.nonzero(mask)
+                    cols = sub[rows, M + mcols].astype(np.int64)
+                    xvals = vals_m[rows, mcols]
+                else:           # >M entries in some column: full fetch
+                    x_host = np.asarray(out[0])[:nJ]
+                    rows, cols = np.nonzero(x_host > EPSILON)
+                    xvals = x_host[rows, cols]
+            else:
+                x_host = X_all[k * B:k * B + nJ]
+                rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
+                xvals = x_host[rows, cols]
             if S_all is not None:
                 coords_perm = S_all[k][cols]         # compact -> permuted
             else:
@@ -496,7 +546,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             rows, coords_perm = rows[keep], coords_perm[keep]
             blk_coord = p[coords_perm]               # permuted -> original
             blk_target = p[r0 + rows]
-            blk_vals = x_host[rows, cols[keep]].astype(np.float32)
+            blk_vals = xvals[keep].astype(np.float32)
             blk_err = float(rnorm_h.sum())
             blk_obj = float(obj_h.sum())
             blk_nit = int(niters_h.sum())

@@ -49,3 +49,21 @@ def test_compact_fslim_matches_full(rng):
     np.testing.assert_allclose(comp.to_scipy().toarray(),
                                full.to_scipy().toarray(), atol=5e-4)
     np.testing.assert_allclose(sc["loss"], sf["loss"], rtol=1e-4)
+
+
+def test_packed_harvest_matches_full(rng, monkeypatch):
+    """Device-side top-M harvest compaction must reproduce the plain
+    full-row fetch exactly (including the >M-entries-per-column fallback,
+    exercised with an absurdly small cap)."""
+    import slim_tpu.solvers.cd as cdmod
+
+    mat = random_csr(rng, 80, 60, density=0.3, seed=160)
+    cfg = SlimConfig(l1r=0.05, l2r=0.2, optTol=1e-10, block_size=16,
+                     shuffle=False, compact_threshold=10**9)
+    ref, sr = estimate_model_cd(mat, cfg)
+    for cap in (8, 2):  # 8: packed path; 2: forces the fallback fetch
+        monkeypatch.setattr(cdmod, "HARVEST_TOPM", cap)
+        got, sg = estimate_model_cd(mat, cfg)
+        np.testing.assert_array_equal(got.to_scipy().toarray(),
+                                      ref.to_scipy().toarray())
+        assert sg["loss"] == sr["loss"]
