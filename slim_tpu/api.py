@@ -262,7 +262,12 @@ class SLIM:
             raise AssertionError(
                 "The shape of the input matrix should match the model.")
 
-        if self._W_dev is None:
+        # cache the dense device model only while it's small; beyond the
+        # threshold predict_topn switches to the padded-sparse scoring path
+        # (n·R·8 bytes instead of n²·4) and manages its own device copy
+        from .predict import SPARSE_PREDICT_THRESHOLD, _bucket
+        n = max(self.model.nrows, self.model.ncols)
+        if self._W_dev is None and _bucket(n) <= SPARSE_PREDICT_THRESHOLD:
             self._W_dev = densify_model(self.model)
 
         if negitems is not None:

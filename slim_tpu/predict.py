@@ -85,8 +85,69 @@ def densify_model(model: CSR, npad: int | None = None):
     return jnp.asarray(W)
 
 
+# above this many items the dense (npad, npad) W is wasteful/impossible
+# (2M items would need 16TB); switch to the padded-sparse scoring path
+SPARSE_PREDICT_THRESHOLD = 16384
+
+
+def sparsify_model_device(model: CSR, npad: int | None = None):
+    """Padded-row device copy of the model for the large-N predict path.
+
+    Returns (Widx (npad, R) int32, Wval (npad, R) f32): row i holds the
+    candidate ids / weights of model row i, padded with (npad-1, 0.0).
+    Memory is npad·R·8 bytes instead of npad²·4 -- a 2M-item model with
+    ~100 nnz/row fits in ~1.6GB of HBM where the dense copy needs 16TB.
+    """
+    import jax.numpy as jnp
+
+    n = max(model.nrows, model.ncols)
+    npad = npad if npad is not None else _bucket(n)
+    nnz_row = model.row_nnz().astype(np.int64)
+    R = _pow2ceil(max(int(nnz_row.max()) if model.nrows else 1, 1))
+    Widx = np.full((npad, R), npad - 1, dtype=np.int32)
+    Wval = np.zeros((npad, R), dtype=np.float32)
+    rows = np.repeat(np.arange(model.nrows), nnz_row)
+    pos = np.arange(model.nnz) - np.repeat(
+        model.indptr[:-1].astype(np.int64), nnz_row)
+    Widx[rows, pos] = model.indices
+    Wval[rows, pos] = model.values()
+    return jnp.asarray(Widx), jnp.asarray(Wval)
+
+
+@functools.partial(jax.jit, static_argnames=("nrcmds",))
+def _score_topn_block_sparse(Widx, Wval, hist_idx, hist_val, nrcmds):
+    """Sparse-model variant of :func:`_score_topn_block`: gather the padded
+    model rows of each history item and scatter-add into per-user dense
+    score vectors ((U, npad) -- the only dense object, so memory scales
+    with the user block, not n²).  Scoring parity with predict.c:40-58.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    npad = Widx.shape[0]
+    U, H = hist_idx.shape
+    safe_idx = jnp.where(hist_idx >= 0, hist_idx, npad - 1)
+    cand = Widx[safe_idx]                            # (U, H, R) gather
+    w = Wval[safe_idx] * hist_val[:, :, None]        # (U, H, R)
+    urow = jnp.broadcast_to(jnp.arange(U)[:, None, None], cand.shape)
+    scores = jnp.zeros((U, npad), jnp.float32).at[
+        urow.reshape(-1), cand.reshape(-1)].add(w.reshape(-1))
+    mask = jnp.zeros((U, npad), bool).at[
+        jnp.arange(U)[:, None], safe_idx].max(hist_idx >= 0)
+    scores = jnp.where(mask, NEG_INF, scores)
+    ncand = jnp.sum(scores > 0, axis=1)
+    top_scores, top_ids = jax.lax.top_k(scores, nrcmds)
+    counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
+    valid = jnp.arange(nrcmds)[None, :] < counts[:, None]
+    top_ids = jnp.where(valid, top_ids, -1)
+    top_scores = jnp.where(valid, top_scores, 0.0)
+    return jnp.concatenate(
+        [top_ids.astype(jnp.float32), top_scores,
+         counts.astype(jnp.float32)[:, None]], axis=1)
+
+
 def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
-                 user_block: int = 1024, W_dev=None):
+                 user_block: int = 1024, W_dev=None, sparse: bool | None = None):
     """Batch top-N for every user row of ``hist``.
 
     Returns (ids (nusers, nrcmds) int32 with -1 padding,
@@ -99,7 +160,16 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
 
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
-    W = W_dev if W_dev is not None else densify_model(model, npad)
+    if sparse is None:
+        sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+    if sparse:
+        Wsp = sparsify_model_device(model, npad)
+        # per-user dense score rows are the only O(n) object: size the
+        # user block so a block's scores stay within ~256MB of HBM
+        user_block = min(user_block,
+                         max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+    else:
+        W = W_dev if W_dev is not None else densify_model(model, npad)
 
     nusers = hist.nrows
     # power-of-two history width => stable compiled shapes across datasets
@@ -123,8 +193,12 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
         bv = np.zeros((ub, H), dtype=np.float32)
         bi[:u1 - u0] = hidx[u0:u1]
         bv[:u1 - u0] = hval[u0:u1]
-        packed.append(_score_topn_block(W, jnp.asarray(bi), jnp.asarray(bv),
-                                        nrcmds))
+        if sparse:
+            packed.append(_score_topn_block_sparse(
+                Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv), nrcmds))
+        else:
+            packed.append(_score_topn_block(W, jnp.asarray(bi),
+                                            jnp.asarray(bv), nrcmds))
     if packed:
         import jax.numpy as _jnp
 
@@ -138,8 +212,25 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     return ids, scores, counts
 
 
+@jax.jit
+def _score_block_sparse(Widx, Wval, hist_idx, hist_val):
+    """Per-user dense score rows from the padded-sparse model (no masking,
+    no top-k) -- shared by the 1vsk candidate-gather path."""
+    import jax.numpy as jnp
+
+    npad = Widx.shape[0]
+    U = hist_idx.shape[0]
+    safe_idx = jnp.where(hist_idx >= 0, hist_idx, npad - 1)
+    cand = Widx[safe_idx]
+    w = Wval[safe_idx] * hist_val[:, :, None]
+    urow = jnp.broadcast_to(jnp.arange(U)[:, None, None], cand.shape)
+    return jnp.zeros((U, npad), jnp.float32).at[
+        urow.reshape(-1), cand.reshape(-1)].add(w.reshape(-1))
+
+
 def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
-                      nrcmds: int = 10, W_dev=None, user_block: int = 1024):
+                      nrcmds: int = 10, W_dev=None, user_block: int = 1024,
+                      sparse: bool | None = None):
     """1-vs-k candidate-restricted prediction (GetRec_1vsk,
     predict.c:77-133).
 
@@ -152,7 +243,14 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
 
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
-    W = W_dev if W_dev is not None else densify_model(model, npad)
+    if sparse is None:
+        sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+    if sparse:
+        Wsp = sparsify_model_device(model, npad)
+        user_block = min(user_block,
+                         max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+    else:
+        W = W_dev if W_dev is not None else densify_model(model, npad)
 
     nusers, nnegs = negitems.shape
     H = _pow2ceil(max(int(hist.row_nnz().max()) if nusers else 1, 1))
@@ -161,11 +259,7 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
     if hist.data is None:
         hval = (hidx >= 0).astype(np.float32)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def block(Wm, bi, bv, cand, k):
-        safe_idx = jnp.where(bi >= 0, bi, npad - 1)
-        rows = Wm[safe_idx]
-        scores = jnp.einsum("uh,uhn->un", bv, rows)     # (U, npad)
+    def gather_cands(scores, cand, k):
         safe_cand = jnp.clip(cand, 0, npad - 1)
         in_range = (cand >= 0) & (cand < n)
         cscores = jnp.where(
@@ -176,6 +270,18 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
         top_sc, top_pos = jax.lax.top_k(cscores, kk)
         top_ids = jnp.take_along_axis(cand, top_pos, axis=1)
         return top_ids.astype(jnp.int32), top_sc
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def block(Wm, bi, bv, cand, k):
+        safe_idx = jnp.where(bi >= 0, bi, npad - 1)
+        rows = Wm[safe_idx]
+        scores = jnp.einsum("uh,uhn->un", bv, rows)     # (U, npad)
+        return gather_cands(scores, cand, k)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def block_sparse(Wi, Wv, bi, bv, cand, k):
+        scores = _score_block_sparse(Wi, Wv, bi, bv)
+        return gather_cands(scores, cand, k)
 
     ids = np.full((nusers, min(nrcmds, nnegs)), -1, dtype=np.int32)
     scores = np.zeros((nusers, min(nrcmds, nnegs)), dtype=np.float32)
@@ -188,8 +294,12 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
         bi[:u1 - u0] = hidx[u0:u1]
         bv[:u1 - u0] = hval[u0:u1]
         cd[:u1 - u0] = negitems[u0:u1]
-        tid, tsc = block(W, jnp.asarray(bi), jnp.asarray(bv), jnp.asarray(cd),
-                         nrcmds)
+        if sparse:
+            tid, tsc = block_sparse(Wsp[0], Wsp[1], jnp.asarray(bi),
+                                    jnp.asarray(bv), jnp.asarray(cd), nrcmds)
+        else:
+            tid, tsc = block(W, jnp.asarray(bi), jnp.asarray(bv),
+                             jnp.asarray(cd), nrcmds)
         ids[u0:u1] = np.asarray(tid)[:u1 - u0]
         scores[u0:u1] = np.asarray(tsc)[:u1 - u0]
     counts = np.full(nusers, ids.shape[1], dtype=np.int32)

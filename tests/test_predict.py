@@ -105,3 +105,45 @@ def test_predict_1vsk_history_not_excluded(rng):
     assert 1 in got  # history item still a candidate
     np.testing.assert_allclose(got[1], 1.0)  # only item2 contributes W[2,1]=1
     np.testing.assert_allclose(got[4], 2.0)
+
+
+def test_predict_sparse_path_matches_dense(rng):
+    """Large-N scoring path (padded-sparse model rows + scatter-add) must
+    reproduce the dense gather+einsum path bit-for-bit in ids/counts and
+    to f32 rounding in scores."""
+    model = random_csr(rng, 64, 64, density=0.15, seed=200)
+    hist = random_csr(rng, 37, 64, density=0.2, seed=201)
+    di, dsc, dc = predict_topn(model, hist, nrcmds=7, sparse=False)
+    si, ssc, sc = predict_topn(model, hist, nrcmds=7, sparse=True,
+                               user_block=8)
+    np.testing.assert_array_equal(dc, sc)
+    # ties may order differently between the two reductions; compare the
+    # recommended sets and the score multisets per user
+    for u in range(hist.nrows):
+        k = dc[u]
+        assert set(di[u][:k]) == set(si[u][:k]), u
+        np.testing.assert_allclose(np.sort(dsc[u][:k]), np.sort(ssc[u][:k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_predict_sparse_implicit_history(rng):
+    model = random_csr(rng, 40, 40, density=0.2, seed=210)
+    hist = random_csr(rng, 20, 40, density=0.25, implicit=True, seed=211)
+    di, dsc, dc = predict_topn(model, hist, nrcmds=5, sparse=False)
+    si, ssc, sc = predict_topn(model, hist, nrcmds=5, sparse=True)
+    np.testing.assert_array_equal(dc, sc)
+    for u in range(hist.nrows):
+        assert set(di[u][:dc[u]]) == set(si[u][:sc[u]])
+
+
+def test_predict_1vsk_sparse_matches_dense(rng):
+    model = random_csr(rng, 50, 50, density=0.2, seed=220)
+    hist = random_csr(rng, 25, 50, density=0.2, seed=221)
+    neg = rng.integers(0, 50, size=(25, 12)).astype(np.int32)
+    di, dsc, _ = predict_topn_1vsk(model, hist, neg, nrcmds=6, sparse=False)
+    si, ssc, _ = predict_topn_1vsk(model, hist, neg, nrcmds=6, sparse=True,
+                                   user_block=8)
+    np.testing.assert_allclose(np.sort(dsc, axis=1), np.sort(ssc, axis=1),
+                               rtol=1e-5, atol=1e-6)
+    for u in range(25):
+        assert set(di[u]) == set(si[u]), u
