@@ -106,6 +106,20 @@ def bench_cpu(train):
     return train.infer_ncols().ncols / dt, obj
 
 
+def bench_cpu_predict(train, model, repeats=3):
+    from slim_tpu import native
+
+    if not native.available():
+        return None
+    native.predict_topn(model, train, nrcmds=10)  # warm/alloc
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        native.predict_topn(model, train, nrcmds=10)
+        best = min(best, time.perf_counter() - t0)
+    return train.nrows / best
+
+
 def main():
     # persistent compile cache: repeat bench runs skip the (remote) TPU
     # compilation of the solver kernels
@@ -120,6 +134,9 @@ def main():
     users_ps = bench_predict(train, model)
     log(f"[bench] predict {users_ps:.0f} users/sec")
     cpu_cps, cpu_obj = bench_cpu(train)
+    cpu_ups = bench_cpu_predict(train, model)
+    if cpu_ups:
+        log(f"[bench] native CPU predict {cpu_ups:.0f} users/sec")
 
     vs = tpu_cps / cpu_cps if cpu_cps else float("nan")
     out = {
@@ -130,6 +147,7 @@ def main():
         "tpu_learn_s": round(tpu_s, 3),
         "predict_users_per_sec": round(users_ps, 1),
         "cpu_baseline_columns_per_sec": round(cpu_cps, 2) if cpu_cps else None,
+        "cpu_predict_users_per_sec": round(cpu_ups, 1) if cpu_ups else None,
         "objective": stats.get("loss"),
         "cpu_objective": cpu_obj,
         "model_nnz": model.nnz,

@@ -69,6 +69,11 @@ def _load():
         lib.slim_gram_dense.argtypes = [
             ctypes.c_int32, ctypes.c_int32, i64p, i32p, f32p,
             f32p, ctypes.c_int64, ctypes.c_int32]
+        lib.slim_predict_topn.restype = None
+        lib.slim_predict_topn.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i64p, i32p, f32p,
+            i64p, i32p, f32p, ctypes.c_int32, i32p, f32p, i32p,
+            ctypes.c_int32]
         lib.slim_parse_tokens.restype = ctypes.c_int64
         lib.slim_parse_tokens.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, f64p, ctypes.c_int64,
@@ -188,3 +193,39 @@ def gram_dense(train, pad_to=None, nthreads=0) -> np.ndarray:
         None if rowval is None else rowval.ctypes.data_as(f32p),
         out.ctypes.data_as(f32p), np.int64(ldg), np.int32(nthreads))
     return out
+
+
+def predict_topn(model, hist, nrcmds=10, nthreads=0):
+    """Threaded CPU top-N prediction (bench baseline; scoring parity with
+    slim_tpu.predict.predict_topn and reference predict.c:40-58)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native slimrt unavailable")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    n = max(model.nrows, model.ncols, hist.ncols)
+    nusers = hist.nrows
+    wptr = np.ascontiguousarray(model.indptr, dtype=np.int64)
+    if model.nrows < n:   # pad the row pointer for items without a row
+        wptr = np.concatenate(
+            [wptr, np.full(n - model.nrows, wptr[-1], dtype=np.int64)])
+    wind = np.ascontiguousarray(model.indices, dtype=np.int32)
+    wval = np.ascontiguousarray(model.values(), dtype=np.float32)
+    hptr = np.ascontiguousarray(hist.indptr, dtype=np.int64)
+    hind = np.ascontiguousarray(hist.indices, dtype=np.int32)
+    hval = None if hist.data is None else \
+        np.ascontiguousarray(hist.data, dtype=np.float32)
+    ids = np.empty((nusers, nrcmds), dtype=np.int32)
+    scores = np.empty((nusers, nrcmds), dtype=np.float32)
+    counts = np.empty(nusers, dtype=np.int32)
+    lib.slim_predict_topn(
+        np.int32(nusers), np.int32(n),
+        wptr.ctypes.data_as(i64p), wind.ctypes.data_as(i32p),
+        wval.ctypes.data_as(f32p), hptr.ctypes.data_as(i64p),
+        hind.ctypes.data_as(i32p),
+        None if hval is None else hval.ctypes.data_as(f32p),
+        np.int32(nrcmds), ids.ctypes.data_as(i32p),
+        scores.ctypes.data_as(f32p), counts.ctypes.data_as(i32p),
+        np.int32(nthreads))
+    return ids, scores, counts

@@ -235,6 +235,85 @@ void slim_gram_dense(int32_t nrows, int32_t ncols, const int64_t *rowptr,
 }
 
 // ------------------------------------------------------------------ //
+// top-N prediction over a sparse model (CPU baseline for bench.py)
+// ------------------------------------------------------------------ //
+// Scoring parity with the TPU path (and reference predict.c:40-58):
+// score[k] = sum_{i in history} rating_i * W[i,k]; history items are
+// excluded; a user gets min(#positive-score items, N) recommendations.
+// W is CSR over items (rowptr/rowind/rowval, nitems rows); hist is CSR
+// over users.  out_ids is (nusers*N) int32 (-1 pad), out_scores f32.
+void slim_predict_topn(int32_t nusers, int32_t nitems,
+                       const int64_t *wptr, const int32_t *wind,
+                       const float *wval, const int64_t *hptr,
+                       const int32_t *hind, const float *hval, int32_t N,
+                       int32_t *out_ids, float *out_scores,
+                       int32_t *out_counts, int32_t nthreads) {
+  if (nthreads > 0) {
+#ifdef _OPENMP
+    omp_set_num_threads(nthreads);
+#endif
+  }
+#pragma omp parallel
+  {
+    std::vector<float> score((size_t)nitems);
+    std::vector<int32_t> touched;
+    touched.reserve(4096);
+#pragma omp for schedule(dynamic, 16)
+    for (int32_t u = 0; u < nusers; ++u) {
+      touched.clear();
+      for (int64_t p = hptr[u]; p < hptr[u + 1]; ++p) {
+        int32_t i = hind[p];
+        if (i < 0 || i >= nitems) continue;
+        float r = hval ? hval[p] : 1.0f;
+        for (int64_t q = wptr[i]; q < wptr[i + 1]; ++q) {
+          int32_t k = wind[q];
+          if (score[k] == 0.0f) touched.push_back(k);
+          score[k] += r * wval[q];
+        }
+      }
+      // mark history (reference marker = -2, predict.c:33-37)
+      for (int64_t p = hptr[u]; p < hptr[u + 1]; ++p) {
+        int32_t i = hind[p];
+        if (i >= 0 && i < nitems) {
+          if (score[i] == 0.0f) touched.push_back(i);
+          score[i] = -1.0f;
+        }
+      }
+      // partial top-N over the touched candidates
+      int32_t *ids = out_ids + (int64_t)u * N;
+      float *scs = out_scores + (int64_t)u * N;
+      int32_t cnt = 0;
+      for (int32_t k : touched) {
+        float s = score[k];
+        score[k] = 0.0f;  // reset now; also guards duplicate touched ids
+        if (s <= 0.0f) continue;
+        if (cnt < N) {
+          ids[cnt] = k;
+          scs[cnt] = s;
+          ++cnt;
+          for (int32_t t = cnt - 1; t > 0 && scs[t] > scs[t - 1]; --t) {
+            std::swap(scs[t], scs[t - 1]);
+            std::swap(ids[t], ids[t - 1]);
+          }
+        } else if (s > scs[N - 1]) {
+          scs[N - 1] = s;
+          ids[N - 1] = k;
+          for (int32_t t = N - 1; t > 0 && scs[t] > scs[t - 1]; --t) {
+            std::swap(scs[t], scs[t - 1]);
+            std::swap(ids[t], ids[t - 1]);
+          }
+        }
+      }
+      for (int32_t t = cnt; t < N; ++t) {
+        ids[t] = -1;
+        scs[t] = 0.0f;
+      }
+      out_counts[u] = cnt;
+    }
+  }
+}
+
+// ------------------------------------------------------------------ //
 // fast whitespace tokeniser for csr-style text files
 // ------------------------------------------------------------------ //
 // Parses up to max_tokens doubles from buf; returns count.  Newlines are

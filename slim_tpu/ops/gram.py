@@ -99,35 +99,33 @@ def gram_device(mat: CSR, pad_to: int | None = None, row_block: int = 8192):
 _gram_sparse_fns: dict = {}
 
 
-def _get_gram_sparse(nrb: int, rb: int, npad: int):
-    """Jitted sparse-to-Gram kernel, cached per (nrb, rb, npad).
+def _get_gram_sparse(rb: int, npad: int):
+    """Jitted sparse-to-Gram kernel, cached per (rb, npad).
 
-    Scatter-densifies each row block ON DEVICE from the (row, col, val)
-    triplets (entries outside the block are routed to a trash row so the
-    in-block indices stay unique for a fast scatter), then accumulates
-    G += blkᵀ·blk on the MXU with exact f32.
+    Each scan step scatter-densifies ONE row block from its pre-bucketed
+    (local_row, col, val) triplets -- padding entries carry local_row=rb,
+    which is out of bounds and dropped (mode='drop'), so the in-bounds
+    indices stay unique and the scatter takes the fast path -- then
+    accumulates G += blkᵀ·blk on the MXU with exact f32.
     """
-    key = (nrb, rb, npad)
+    key = (rb, npad)
     fn = _gram_sparse_fns.get(key)
     if fn is None:
         import jax
         import jax.numpy as jnp
 
         @jax.jit
-        def gram_sparse(rows, cols, vals):
-            def body(g, k):
-                lr = rows - k * rb
-                inside = (lr >= 0) & (lr < rb)
-                lr = jnp.where(inside, lr, rb)
-                blk = jnp.zeros((rb + 1, npad), jnp.float32)
-                blk = blk.at[lr, cols].add(vals, unique_indices=True)
-                blk = blk[:rb]
+        def gram_sparse(lr, cols, vals):
+            def body(g, xs):
+                l, c, v = xs
+                blk = jnp.zeros((rb, npad), jnp.float32)
+                blk = blk.at[l, c].add(v, unique_indices=True, mode="drop")
                 return g + jnp.dot(
                     blk.T, blk, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST), None
 
             g0 = jnp.zeros((npad, npad), jnp.float32)
-            g, _ = jax.lax.scan(body, g0, jnp.arange(nrb))
+            g, _ = jax.lax.scan(body, g0, (lr, cols, vals))
             return g
 
         fn = _gram_sparse_fns[key] = gram_sparse
@@ -139,17 +137,37 @@ def gram_device_sparse(mat: CSR, pad_to: int | None = None,
     """Device Gram that transfers only the sparse triplets (~12·nnz bytes
     instead of n²·4 for the host path or nrows·n·4 for dense row blocks) --
     the winning path when host↔device bandwidth is the bottleneck (this
-    machine's TPU tunnel moves ~100-200 MB/s)."""
+    machine's TPU tunnel moves ~100-200 MB/s).
+
+    Triplets are bucketed per row block host-side (CSR is already
+    row-sorted, so this is a reshape, not a sort): scatter work per scan
+    step is O(block nnz), not O(total nnz).
+    """
     import jax.numpy as jnp
 
     n = pad_to if pad_to is not None else mat.ncols
     n = _round_up(max(n, 1), 128)
     nrb = max((mat.nrows + row_block - 1) // row_block, 1)
-    rows = np.repeat(np.arange(mat.nrows, dtype=np.int32),
+    starts = mat.indptr[np.minimum(
+        np.arange(nrb + 1, dtype=np.int64) * row_block,
+        mat.nrows)].astype(np.int64)
+    bnnz = np.diff(starts)
+    P = 1
+    while P < max(int(bnnz.max()) if nrb else 1, 1):
+        P *= 2
+    lr = np.full((nrb, P), row_block, dtype=np.int32)   # OOB => dropped
+    cc = np.zeros((nrb, P), dtype=np.int32)
+    vv = np.zeros((nrb, P), dtype=np.float32)
+    rows = np.repeat(np.arange(mat.nrows, dtype=np.int64),
                      np.diff(mat.indptr).astype(np.int64))
-    fn = _get_gram_sparse(nrb, row_block, n)
-    return fn(jnp.asarray(rows), jnp.asarray(mat.indices.astype(np.int32)),
-              jnp.asarray(mat.values()))
+    vals = mat.values()
+    for k in range(nrb):
+        s, e = starts[k], starts[k + 1]
+        lr[k, :e - s] = (rows[s:e] - k * row_block).astype(np.int32)
+        cc[k, :e - s] = mat.indices[s:e]
+        vv[k, :e - s] = vals[s:e]
+    fn = _get_gram_sparse(row_block, n)
+    return fn(jnp.asarray(lr), jnp.asarray(cc), jnp.asarray(vv))
 
 
 def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):

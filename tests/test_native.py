@@ -53,3 +53,48 @@ def test_native_gram(rng):
     expect = A.T @ A
     np.testing.assert_allclose(g[:12, :12], expect, rtol=1e-5)
     assert np.all(g[12:, :] == 0) and np.all(g[:, 12:] == 0)
+
+
+def test_native_predict_matches_device_path(rng):
+    from conftest import random_csr
+    from slim_tpu import native
+    from slim_tpu.predict import predict_topn
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    model = random_csr(rng, 60, 60, density=0.15, seed=300)
+    hist = random_csr(rng, 30, 60, density=0.2, seed=301)
+    di, dsc, dc = predict_topn(model, hist, nrcmds=8)
+    ni, nsc, nc = native.predict_topn(model, hist, nrcmds=8)
+    np.testing.assert_array_equal(dc, nc)
+    W = model.to_scipy().toarray()
+    Hm = hist.to_scipy().toarray()
+    for u in range(hist.nrows):
+        k = dc[u]
+        np.testing.assert_allclose(np.sort(dsc[u][:k]), np.sort(nsc[u][:k]),
+                                   rtol=1e-5, atol=1e-6)
+        # id sets may differ only at score ties on the N-th place
+        s = Hm[u] @ W
+        cut = min(nsc[u][:k], default=0.0) if k else 0.0
+        for extra in set(di[u][:k]) ^ set(ni[u][:k]):
+            np.testing.assert_allclose(s[extra], cut, rtol=1e-5)
+
+
+def test_native_predict_implicit_history(rng):
+    from conftest import random_csr
+    from slim_tpu import native
+    from slim_tpu.predict import predict_topn
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    model = random_csr(rng, 40, 40, density=0.2, seed=310)
+    hist = random_csr(rng, 15, 40, density=0.3, implicit=True, seed=311)
+    di, dsc, dc = predict_topn(model, hist, nrcmds=5)
+    ni, nsc, nc = native.predict_topn(model, hist, nrcmds=5)
+    np.testing.assert_array_equal(dc, nc)
+    for u in range(hist.nrows):
+        k = dc[u]
+        np.testing.assert_allclose(np.sort(dsc[u][:k]), np.sort(nsc[u][:k]),
+                                   rtol=1e-5, atol=1e-6)
