@@ -247,10 +247,18 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
     try:
         return run(impl)
     except Exception as e:  # compile-time failure surfaces at dispatch
+        msg = str(e)
         logger.warning("%s kernel unavailable for block shape %s "
                        "(%s); falling back to the XLA kernel", impl,
-                       shape_key, str(e).splitlines()[0][:120])
-        _record_failed_shape(shape_key)
+                       shape_key, msg.splitlines()[0][:120])
+        # persist only genuine capacity/lowering failures; transient infra
+        # errors (remote-compile HTTP 500s, worker restarts) must not
+        # poison the cache with shapes that normally compile fine
+        permanent = any(t in msg for t in (
+            "VMEM", "vmem", "Mosaic", "mosaic", "RESOURCE_EXHAUSTED",
+            "relayout", "exceeds", "scoped", "Ran out of memory"))
+        if permanent:
+            _record_failed_shape(shape_key)
         return run("xla")
 
 
