@@ -98,3 +98,25 @@ ids, scores, counts = predict_topn(mdl, train_csr, nrcmds=10)
 fmarker = determine_head_tail(train_csr)
 print(evaluate_topn(ids, counts, test_csr, fmarker))
 print("objective:", stats["loss"])
+
+# --------------------------------------------------------------------- #
+# 8. TPU knobs (all optional; defaults are auto-tuned)
+# --------------------------------------------------------------------- #
+# gram:   "auto" (cost model) | "device" (sparse triplets scatter-
+#         densified on device; wins when host<->device bandwidth is the
+#         bottleneck) | "host" (native OpenMP SpGEMM).
+# kernel: "auto" | "pallas" (whole-array VMEM sweep kernel) |
+#         "pallas_large" (HBM-resident panelized) | "xla".
+# block_size, compact_threshold, shuffle, checkpoint_dir (crash-resume
+# of column blocks), profile_dir (jax.profiler trace): see SlimConfig.
+mdl2, _ = learn(train_csr, SlimConfig(l1r=0.5, l2r=1.0, gram="device"))
+
+# Large catalogues: beyond 16384 items predict_topn switches to a
+# padded-sparse device model automatically (HBM = n*R*8 bytes instead of
+# n^2*4); force either path with sparse=True/False.
+ids2, _, _ = predict_topn(mdl2, train_csr, nrcmds=10, sparse=True)
+
+# Native CPU predict (serving small catalogues; same scoring semantics):
+from slim_tpu import native
+if native.available():
+    nids, nsc, ncnt = native.predict_topn(mdl2, train_csr, nrcmds=10)
