@@ -196,8 +196,13 @@ def pallas_supported(B: int, npad: int) -> bool:
     including the whole-array x/q in+out blocks)."""
     vmem = (8 * B * npad * 4 + 2 * CHUNK * npad * 4
             + 8 * B * CHUNK * 4) * 1.05
-    # B % 32: int8 blocks need a sublane count divisible by 32
-    return npad % CHUNK == 0 and B % 32 == 0 and vmem < 15 * 1024 * 1024
+    # B % 32: int8 blocks need a sublane count divisible by 32.
+    # B <= 128: every (256, K) instance tried on this toolchain either
+    # fails Mosaic's VMEM accounting ((256,512), (256,768)) or crashes
+    # the compile service outright ((256,1024)); (128, K) shapes are the
+    # proven envelope and dispatch_split covers larger column batches.
+    return (npad % CHUNK == 0 and B % 32 == 0 and B <= 128
+            and vmem < 15 * 1024 * 1024)
 
 
 def pallas_max_block(npad: int, cap: int = 512) -> int:

@@ -251,13 +251,16 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
         logger.warning("%s kernel unavailable for block shape %s "
                        "(%s); falling back to the XLA kernel", impl,
                        shape_key, msg.splitlines()[0][:120])
-        # persist only genuine capacity/lowering failures; transient infra
-        # errors (remote-compile HTTP 500s, worker restarts) must not
-        # poison the cache with shapes that normally compile fine
+        # persist capacity/lowering failures AND compile-service crashes
+        # (retrying a shape that 500s the helper has been observed to take
+        # the TPU worker down with it); do NOT persist collateral errors
+        # like UNAVAILABLE (worker already dead from an earlier crash) --
+        # those shapes are innocent and normally compile fine
         permanent = any(t in msg for t in (
             "VMEM", "vmem", "Mosaic", "mosaic", "RESOURCE_EXHAUSTED",
-            "relayout", "exceeds", "scoped", "Ran out of memory"))
-        if permanent:
+            "relayout", "exceeds", "scoped", "Ran out of memory",
+            "remote_compile", "HTTP 5", "INTERNAL"))
+        if permanent and "UNAVAILABLE" not in msg:
             _record_failed_shape(shape_key)
         return run("xla")
 
@@ -334,40 +337,62 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     import jax
 
     from ..ops.pallas_cd import (PANEL, pallas_large_max_block,
-                                 pallas_large_supported, pallas_max_block)
+                                 pallas_max_block)
 
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     if use_compact:
         # after frequency relabeling the unions are prefix-dominated, so
         # moderately large blocks are nearly free (the union barely grows
-        # with B) and amortise the per-block gathers and sweeps.  On TPU,
-        # clamp B so the panelized kernel stays viable for the full-width
-        # head blocks (whose unions cover the whole space).
-        if on_tpu:
-            bl = pallas_large_max_block(npad, min(B, 256))
-            B = bl if bl >= 64 else min(B, 256)
-        else:
-            B = min(B, 256)
+        # with B) and amortise the per-block gathers and sweeps.  Blocks
+        # whose union is too wide for one Pallas launch are split into
+        # sub-batches at dispatch (dispatch_split below), so B can stay
+        # MXU-friendly for the compact tail blocks.
+        B = min(B, 256)
 
     def pick_impl(width, b):
         """Kernel for a given coordinate width: whole-array Pallas when it
         fits VMEM, the panelized HBM-resident Pallas for wide spaces, XLA
-        otherwise (and always on CPU)."""
+        otherwise (and always on CPU).  Returns (impl, max sub-batch the
+        kernel can take at once -- possibly < b)."""
         if not on_tpu:
             return "xla", b
         b_fit = pallas_max_block(width, b)
-        if b_fit >= 64:
+        if b_fit >= 32:
             return "pallas", b_fit
-        if width % PANEL == 0 and pallas_large_supported(b, width):
-            return "pallas_large", b
+        if width % PANEL == 0:
+            b2 = pallas_large_max_block(width, b)
+            if b2 >= 32:
+                return "pallas_large", b2
         return "xla", b
 
-    impl = cfg.kernel
-    if impl == "auto":
-        if use_compact:
-            impl = "auto"  # resolved per block from its union width
-        else:
-            impl, B = pick_impl(npad, B)
+    def dispatch_split(solve_cols, width):
+        """Dispatch one B-column block; when the picked Pallas kernel
+        cannot take all B columns at once (wide unions / head blocks),
+        split into pow2 sub-batches instead of demoting the whole block
+        to the O(width²)-per-sweep XLA kernel."""
+        blk_impl = cfg.kernel
+        b2 = B
+        if blk_impl == "auto":
+            blk_impl, b2 = pick_impl(width, B)
+        if blk_impl == "xla" or b2 >= B:
+            return _dispatch_with_fallback(
+                lambda im: solve_cols(im, 0, B), blk_impl, (B, width))
+        b2 = 1 << (max(b2, 1).bit_length() - 1)   # pow2 floor
+        if b2 < 32 or B % b2 != 0:
+            return _dispatch_with_fallback(
+                lambda im: solve_cols(im, 0, B), "xla", (B, width))
+        subs = [_dispatch_with_fallback(
+                    lambda im, i=i: solve_cols(im, i, b2), blk_impl,
+                    (b2, width))
+                for i in range(0, B, b2)]
+        return tuple(jnp.concatenate([s[j] for s in subs], axis=0)
+                     for j in range(len(subs[0])))
+
+    if cfg.kernel == "auto" and not use_compact:
+        # shrink B to the whole-array kernel's batch so non-compact solves
+        # use a single Pallas launch per block (compact blocks resolve per
+        # union width in dispatch_split instead)
+        _, B = pick_impl(npad, B)
 
     nblocks = (n + B - 1) // B
     zeros_x0 = None if use_warm else jnp.zeros((B, npad), dtype=jnp.float32)
@@ -449,39 +474,29 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         if use_compact and union_S[blk][0] < npad:
             K, S = union_S[blk]
             x0s = jnp.take(x0, S, axis=1)
-            blk_impl = cfg.kernel
-            if blk_impl == "auto":
-                blk_impl, _ = pick_impl(K, B)
-                if blk_impl == "pallas" and pallas_max_block(K, B) < B:
-                    blk_impl = "xla"
 
-            def run_compact(im):
+            def solve_cols(im, i, b, S=S, Jpad=Jpad, caps=caps, x0s=x0s,
+                           blk=blk):
                 return cd_solve_block_compact(
-                    g_dev, S, jnp.asarray(Jpad), jnp.asarray(caps), x0s,
+                    g_dev, S, jnp.asarray(Jpad[i:i + b]),
+                    jnp.asarray(caps[i:i + b]), x0s[i:i + b],
                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                     int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im,
                     fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
 
-            out = _dispatch_with_fallback(run_compact, blk_impl,
-                                          shape_key=(B, K))
+            out = dispatch_split(solve_cols, K)
             pending.append((nJ, out, S))
         else:
-            def run_full(im):
+            def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk):
                 return cd_solve_block_ids(
-                    g_dev, jnp.asarray(Jpad), jnp.asarray(caps), x0, n,
+                    g_dev, jnp.asarray(Jpad[i:i + b]),
+                    jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                     int(cfg.seed) + blk, shuffle=cfg.shuffle,
                     fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype,
                     impl=im)
 
-            blk_impl = impl
-            if blk_impl == "auto":  # compact-mode full-width fallback
-                blk_impl, _ = pick_impl(npad, B)
-                if blk_impl == "pallas" and pallas_max_block(npad, B) < B:
-                    blk_impl = "xla"
-
-            out = _dispatch_with_fallback(run_full, blk_impl,
-                                          shape_key=(B, npad))
+            out = dispatch_split(solve_cols, npad)
             pending.append((nJ, out, None))
 
     _mark("dispatch")

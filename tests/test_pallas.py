@@ -49,11 +49,14 @@ def test_pallas_sweep_matches_xla(shuffle):
 
 
 def test_pallas_capacity_model():
-    assert pallas_supported(192, 1792)
+    assert pallas_supported(128, 1792)
     assert not pallas_supported(1024, 8192)
+    # B capped at 128: (256, K) instances crash this Mosaic toolchain
+    # (dispatch_split covers bigger column batches with multiple launches)
+    assert not pallas_supported(192, 1792)
     b = pallas_max_block(1792)
     assert b % 32 == 0 and pallas_supported(b, 1792)
-    assert pallas_max_block(128) >= 256  # tiny problems allow big blocks
+    assert pallas_max_block(128) == 128  # cap applies even for tiny npad
 
 
 def test_pallas_large_kernel_matches_xla():
