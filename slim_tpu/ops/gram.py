@@ -193,10 +193,15 @@ def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     dense_flops = 2.0 * mat.nrows * float(n) * float(n)
     nnz_per_row = mat.row_nnz().astype(np.float64)
     sparse_ops = float(np.sum(nnz_per_row ** 2))
-    bw = 150e6          # effective host->device bytes/s through the tunnel
-    t_host = sparse_ops / 2e8 + float(n) * n * 4 / bw
-    t_dev = (dense_flops / 1e13 + mat.nnz * 12.0 / bw
-             + mat.nnz / 5e7)                       # scatter term
+    # constants measured on this class of setup (tunnelled v5e, 4-core
+    # host): tunnel ~50MB/s, device f32-HIGHEST matmul ~2e13 flop/s,
+    # host SpGEMM ~4e7 op/s.  At 138k x 27k x 10M nnz: device 12s
+    # (9.3s matmul+scatter, 2.4s triplet upload) vs host 94s (17s
+    # compute + 77s shipping the 3.3GB G through the tunnel).
+    bw = 50e6
+    t_host = sparse_ops / 4e7 + float(n) * n * 4 / bw
+    t_dev = (dense_flops / 2e13 + mat.nnz * 12.0 / bw
+             + mat.nnz / 2e8)                       # scatter term
     if t_host < t_dev or mat.nrows * float(n) * n > 4e13:
         return jnp.asarray(gram_host(mat, pad_to=n))
     return gram_device_sparse(mat, pad_to=n)

@@ -291,6 +291,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     csc = train.transpose()
     nnz_col = csc.row_nnz().astype(np.int64)
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
+    _mark("transpose")
 
     # Frequency relabeling: solve in a permuted item space where rank r =
     # the r-th most-rated item.  Blocks become consecutive rank ranges
@@ -312,6 +313,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     else:
         train_p = CSR.from_arrays(train.nrows, n, train.indptr,
                                   posmap[train.indices], train.data)
+        _mark("relabel")
         g_dev = compute_gram(train_p, cfg.gram, pad_to=npad)
 
     caps_p = col_caps[p]
@@ -438,8 +440,10 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         # (nblocks, npad) flag matrix fetched in a single small transfer,
         # and the compacted index lists built on the host (device argsorts
         # over npad-wide keys measured slower than this round trip)
-        u_host = np.asarray(block_union_flags(
-            g_dev, nblocks, B, float(cfg.l1r)))
+        u_dev = block_union_flags(g_dev, nblocks, B, float(cfg.l1r))
+        _mark("flags-dispatch")
+        u_host = np.asarray(u_dev)
+        _mark("flags-fetch")
         s_host, by_K = {}, {}
         for blk in range(nblocks):
             ids = np.nonzero(u_host[blk])[0]
