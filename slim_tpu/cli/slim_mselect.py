@@ -29,9 +29,12 @@ def main(argv=None):
     parser.add_argument("--algo", default="cd", choices=["cd", "admm"])
     parser.add_argument("--nrcmds", type=int, default=10)
     parser.add_argument("--nthreads", type=int, default=0)
-    parser.add_argument("--writemodels", action="store_true",
+    parser.add_argument("--writemodels", action="store_true", default=True,
                         help="write one <l1 l2>.model file per point "
-                             "(reference always does; opt-in here)")
+                             "(default on, matching slim_mselect.c:110-112)")
+    parser.add_argument("--nowritemodels", dest="writemodels",
+                        action="store_false",
+                        help="skip the per-point model files")
     parser.add_argument("trnfile")
     parser.add_argument("tstfile")
     parser.add_argument("l12file")

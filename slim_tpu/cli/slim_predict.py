@@ -61,39 +61,55 @@ def main(argv=None):
         if negmat:
             negmat = negmat.binarize()
 
-    # with a negative file, ask for a score for all items first
-    # (slim_predict.c:82)
-    ask = model.nrows if negmat else args.nrcmds
-    ids, scores, counts = predict_topn(model, oldmat, nrcmds=ask)
+    if negmat is None:
+        ids, scores, counts = predict_topn(model, oldmat, nrcmds=args.nrcmds)
+    else:
+        # neg-file mode, fully vectorised (slim_predict.c:110-165): the
+        # candidate set per user is pos(test) ∪ neg; candidates keep their
+        # all-items score (history excluded) or 0; ties are randomised
+        # before the descending sort; the list is truncated to
+        # min(nrcmds, user's scored-item count) -- a user whose model
+        # reaches no items gets zero recommendations, like the reference's
+        # nrcmds = gk_min(GetTopN(...), params->nrcmds).
+        from ..predict import predict_candidate_scores
 
-    if negmat is not None:
+        nu = oldmat.nrows
+        zp = np.zeros(nu + 1, dtype=np.int64)
+        t_ptr = tstmat.indptr.astype(np.int64) if tstmat else zp
+        t_ind = tstmat.indices if tstmat else np.zeros(0, np.int32)
+        n_ptr = negmat.indptr.astype(np.int64)
+        n_ind = negmat.indices
+        t_cnt = t_ptr[1:] - t_ptr[:-1]
+        n_cnt = n_ptr[1:] - n_ptr[:-1]
+        C = max(int((t_cnt + n_cnt).max(initial=1)), 1)
+        cand = np.full((nu, C), -1, np.int32)
+        rows_t = np.repeat(np.arange(nu), t_cnt)
+        cand[rows_t, np.arange(len(t_ind)) - np.repeat(t_ptr[:-1], t_cnt)] \
+            = t_ind
+        rows_n = np.repeat(np.arange(nu), n_cnt)
+        cand[rows_n, t_cnt[rows_n] + np.arange(len(n_ind))
+             - np.repeat(n_ptr[:-1], n_cnt)] = n_ind
+        # dedup per row (pos∪neg): sort, blank repeats
+        cand = np.sort(cand, axis=1)[:, ::-1]  # desc: -1 padding last
+        dup = cand[:, 1:] == cand[:, :-1]
+        cand[:, 1:][dup] = -1
+        ncands = (cand >= 0).sum(axis=1)
+
+        cscores, nscored = predict_candidate_scores(model, oldmat, cand)
+        # random tie order (double shuffle, slim_predict.c:148-158) =
+        # stable sort by score desc with a random secondary key
         rng = np.random.default_rng(0)
-        new_ids = np.full((oldmat.nrows, args.nrcmds), -1, np.int32)
-        new_sc = np.zeros((oldmat.nrows, args.nrcmds), np.float32)
-        new_ct = np.zeros(oldmat.nrows, np.int32)
-        for u in range(oldmat.nrows):
-            cand_set = set()
-            if tstmat:
-                cand_set.update(
-                    tstmat.indices[tstmat.indptr[u]:tstmat.indptr[u + 1]].tolist())
-            cand_set.update(
-                negmat.indices[negmat.indptr[u]:negmat.indptr[u + 1]].tolist())
-            got = {int(i): float(s) for i, s in
-                   zip(ids[u, :counts[u]], scores[u, :counts[u]])
-                   if i in cand_set}
-            cand = [(c, got.get(c, 0.0)) for c in cand_set]
-            # random tie-break before the descending sort
-            # (double shuffle, slim_predict.c:148-158)
-            perm = rng.permutation(len(cand))
-            cand = [cand[p] for p in perm]
-            cand.sort(key=lambda kv: -kv[1])
-            k = min(args.nrcmds, len(cand), int(counts[u]) if counts[u] > 0
-                    else len(cand))
-            for r in range(k):
-                new_ids[u, r] = cand[r][0]
-                new_sc[u, r] = cand[r][1]
-            new_ct[u] = k
-        ids, scores, counts = new_ids, new_sc, new_ct
+        key = np.where(cand >= 0, cscores, -np.inf)
+        order = np.lexsort((rng.random(cand.shape), -key), axis=-1)
+        ids = np.take_along_axis(cand, order, axis=1)[:, :args.nrcmds]
+        scores = np.take_along_axis(cscores, order, axis=1)[:, :args.nrcmds]
+        counts = np.minimum(np.minimum(args.nrcmds, nscored),
+                            ncands).astype(np.int32)
+        ids[np.arange(ids.shape[1])[None, :] >= counts[:, None]] = -1
+        if ids.shape[1] < args.nrcmds:
+            pad = args.nrcmds - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            scores = np.pad(scores, ((0, 0), (0, pad)))
 
     if args.outfile:
         with open(args.outfile, "w") as fh:

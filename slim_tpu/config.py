@@ -116,6 +116,11 @@ class SlimConfig:
         params.update(kw)
         if "niters" in params:  # python-package name for maxniters
             params["maxniters"] = params.pop("niters")
+        elif "maxniters" not in params:
+            # the reference python package defaults niters to 50 in the
+            # dict/obj API (core.py:87,165) -- much lower than the C CLI's
+            # 10000 -- so the dict entry point must match it
+            params["maxniters"] = 50
         fields = {f.name for f in dataclasses.fields(SlimConfig)}
         unknown = set(params) - fields
         if unknown:

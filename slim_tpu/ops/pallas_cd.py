@@ -242,15 +242,18 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
     x0 = jnp.where(active, x0.astype(F32), 0.0)
     tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
 
-    live0 = (jnp.any(active, axis=1)
-             & (col_maxniters > 0)).astype(F32)[:, None]
+    any_act = jnp.any(active, axis=1)
+    live0 = (any_act & (col_maxniters > 0)).astype(F32)[:, None]
+    # empty-active columns converge trivially on their first sweep (the
+    # reference runs CD over 0 coords, dltx=0 < optTol), matching _cd_core
+    conv0 = (~any_act) & (col_maxniters > 0)
 
     def cond(carry):
-        x, live, niters, t = carry
+        x, live, niters, conv, t = carry
         return (t < tmax) & jnp.any(live > 0)
 
     def body(carry):
-        x, live, niters, t = carry
+        x, live, niters, conv, t = carry
         tkey = jax.random.fold_in(key, t)
         if shuffle:
             perms = jax.vmap(
@@ -270,16 +273,22 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
         # exact q at launch start (MXU, f32 accumulation)
         q = jnp.dot(x, G, preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST)
-        xn, qn, liven, nit_d, _ = pallas_cd_sweeps(
+        xn, qn, liven, nit_d, dl = pallas_cd_sweeps(
             G, gj, act_i8, x, q, live, diag2d, regs, perms, has,
             interpret=interpret)
-        return xn, liven, niters + nit_d[:, 0], t + R_SWEEPS
+        # converged = died with Σ(Δx)² < optTol on its dying sweep (a
+        # column hitting its cap on the same sweep it converges counts as
+        # converged, like _cd_core's rstatus).  dl is the LAST sweep's
+        # Σ(Δx)², exact while R_SWEEPS == 1.
+        died = (live[:, 0] > 0) & (liven[:, 0] == 0)
+        conv = conv | (died & (dl[:, 0] < jnp.asarray(optTol, F32)))
+        return xn, liven, niters + nit_d[:, 0], conv, t + R_SWEEPS
 
-    x, live, niters_f, t = jax.lax.while_loop(
-        cond, body, (x0, live0, jnp.zeros(B, F32), jnp.zeros((), jnp.int32)))
+    x, live, niters_f, converged, t = jax.lax.while_loop(
+        cond, body, (x0, live0, jnp.zeros(B, F32), conv0,
+                     jnp.zeros((), jnp.int32)))
 
     niters = niters_f.astype(jnp.int32)
-    converged = (live[:, 0] == 0) & (niters < col_maxniters)
     q = jnp.dot(x, G, preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
@@ -510,15 +519,16 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
     key = jax.random.PRNGKey(seed)
     x0 = jnp.where(active, x0.astype(F32), 0.0)
     tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
-    live0 = (jnp.any(active, axis=1)
-             & (col_maxniters > 0)).astype(F32)[:, None]
+    any_act = jnp.any(active, axis=1)
+    live0 = (any_act & (col_maxniters > 0)).astype(F32)[:, None]
+    conv0 = (~any_act) & (col_maxniters > 0)
 
     def cond(carry):
-        x, live, niters, t = carry
+        x, live, niters, conv, t = carry
         return (t < tmax) & jnp.any(live > 0)
 
     def body(carry):
-        x, live, niters, t = carry
+        x, live, niters, conv, t = carry
         tkey = jax.random.fold_in(key, t)
         if shuffle:
             perm = jax.random.permutation(tkey, nchunks).astype(jnp.int32)
@@ -532,16 +542,18 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
              jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=1)
         q = jnp.dot(x, G, preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST)
-        xn, qn, liven, nit_d, _ = pallas_cd_sweep_large(
+        xn, qn, liven, nit_d, dl = pallas_cd_sweep_large(
             G, gj, act_i8, x, q, live, diag2d, regs, perm, has,
             interpret=interpret)
-        return xn, liven, niters + nit_d[:, 0], t + 1
+        died = (live[:, 0] > 0) & (liven[:, 0] == 0)
+        conv = conv | (died & (dl[:, 0] < jnp.asarray(optTol, F32)))
+        return xn, liven, niters + nit_d[:, 0], conv, t + 1
 
-    x, live, niters_f, t = jax.lax.while_loop(
-        cond, body, (x0, live0, jnp.zeros(B, F32), jnp.zeros((), jnp.int32)))
+    x, live, niters_f, converged, t = jax.lax.while_loop(
+        cond, body, (x0, live0, jnp.zeros(B, F32), conv0,
+                     jnp.zeros((), jnp.int32)))
 
     niters = niters_f.astype(jnp.int32)
-    converged = (live[:, 0] == 0) & (niters < col_maxniters)
     q = jnp.dot(x, G, preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)

@@ -40,6 +40,21 @@ def _pow2ceil(n: int) -> int:
     return m
 
 
+def _hist_dense(npad, hist_idx, hist_val):
+    """Scatter padded histories into a dense (U, npad) ratings matrix plus
+    the history-membership mask (marker = -2, predict.c:33-37).  Duplicate
+    history entries accumulate, like the reference's += loop."""
+    import jax.numpy as jnp
+
+    U = hist_idx.shape[0]
+    safe_idx = jnp.where(hist_idx >= 0, hist_idx, npad - 1)
+    urow = jnp.broadcast_to(jnp.arange(U)[:, None], hist_idx.shape)
+    hd = jnp.zeros((U, npad), jnp.float32).at[urow, safe_idx].add(
+        jnp.where(hist_idx >= 0, hist_val, 0.0))
+    mask = jnp.zeros((U, npad), bool).at[urow, safe_idx].max(hist_idx >= 0)
+    return hd, mask
+
+
 @functools.partial(jax.jit, static_argnames=("nrcmds",))
 def _score_topn_block(W, hist_idx, hist_val, nrcmds):
     """Score one user block and return its top-N.
@@ -47,18 +62,18 @@ def _score_topn_block(W, hist_idx, hist_val, nrcmds):
     W : (npad, npad) dense model, rows = rated item, cols = candidate.
     hist_idx : (U, H) int32 item ids, -1 padding (mapped to the zero row).
     hist_val : (U, H) f32 ratings (0 padding).
+
+    Scores = hist_dense @ W on the MXU: no (U, H, npad) gather intermediate
+    (one power user's H would otherwise set the block's memory for
+    everyone), and the matmul is the fastest unit on the chip anyway.
     """
     import jax
     import jax.numpy as jnp
 
     npad = W.shape[0]
-    safe_idx = jnp.where(hist_idx >= 0, hist_idx, npad - 1)  # zero row
-    rows = W[safe_idx]                        # (U, H, npad) gather
-    scores = jnp.einsum("uh,uhn->un", hist_val, rows)
-    # mask history items (marker = -2, predict.c:33-37)
-    U = hist_idx.shape[0]
-    mask = jnp.zeros((U, npad), bool).at[
-        jnp.arange(U)[:, None], safe_idx].max(hist_idx >= 0)
+    hd, mask = _hist_dense(npad, hist_idx, hist_val)
+    scores = jnp.dot(hd, W, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     scores = jnp.where(mask, NEG_INF, scores)
     ncand = jnp.sum(scores > 0, axis=1)
     top_scores, top_ids = jax.lax.top_k(scores, nrcmds)
@@ -212,6 +227,89 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     return ids, scores, counts
 
 
+def predict_candidate_scores(model: CSR, hist: CSR, cand: np.ndarray,
+                             W_dev=None, user_block: int = 1024,
+                             sparse: bool | None = None):
+    """Scores of an explicit candidate list per user, with the history
+    excluded -- the vectorised core of the CLI neg-file mode
+    (slim_predict.c:110-143: GetTopN over ALL items, then candidates keep
+    their score if they were in the scored list, 0 otherwise).
+
+    ``cand`` is (nusers, C) int32 with -1 padding.  Returns
+    (cscores (nusers, C) f32  -- 0 for unscored/-1/history candidates,
+     nscored (nusers,) int32  -- the user's scored-item count over ALL
+     items, the reference's GetTopN return used to truncate the final
+     list).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = max(model.nrows, model.ncols, hist.ncols)
+    npad = _bucket(n)
+    if sparse is None:
+        sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+    if sparse:
+        Wsp = sparsify_model_device(model, npad)
+        user_block = min(user_block,
+                         max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+    else:
+        W = W_dev if W_dev is not None else densify_model(model, npad)
+
+    nusers, C = cand.shape
+    H = _pow2ceil(max(int(hist.row_nnz().max()) if nusers else 1, 1))
+    hidx, hval = hist.padded_rows(width=H)
+    hidx = np.where(hidx >= n, -1, hidx)
+    if hist.data is None:
+        hval = (hidx >= 0).astype(np.float32)
+
+    @jax.jit
+    def block_dense(Wm, bi, bv, cd):
+        hd, mask = _hist_dense(npad, bi, bv)
+        scores = jnp.dot(hd, Wm, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        scores = jnp.where(mask, NEG_INF, scores)
+        nscored = jnp.sum(scores > 0, axis=1).astype(jnp.int32)
+        safe_cd = jnp.clip(cd, 0, npad - 1)
+        cs = jnp.take_along_axis(scores, safe_cd, axis=1)
+        cs = jnp.where((cd >= 0) & (cd < n) & (cs > 0), cs, 0.0)
+        return cs, nscored
+
+    @jax.jit
+    def block_sp(Wi, Wv, bi, bv, cd):
+        scores = _score_block_sparse(Wi, Wv, bi, bv)
+        safe_idx = jnp.where(bi >= 0, bi, npad - 1)
+        U = bi.shape[0]
+        mask = jnp.zeros((U, npad), bool).at[
+            jnp.arange(U)[:, None], safe_idx].max(bi >= 0)
+        scores = jnp.where(mask, NEG_INF, scores)
+        nscored = jnp.sum(scores > 0, axis=1).astype(jnp.int32)
+        safe_cd = jnp.clip(cd, 0, npad - 1)
+        cs = jnp.take_along_axis(scores, safe_cd, axis=1)
+        cs = jnp.where((cd >= 0) & (cd < n) & (cs > 0), cs, 0.0)
+        return cs, nscored
+
+    out_cs = np.zeros((nusers, C), np.float32)
+    out_ns = np.zeros(nusers, np.int32)
+    ub = min(user_block, _pow2ceil(max(nusers, 1)))
+    for u0 in range(0, nusers, ub):
+        u1 = min(u0 + ub, nusers)
+        bi = np.full((ub, H), -1, dtype=np.int32)
+        bv = np.zeros((ub, H), dtype=np.float32)
+        cd = np.full((ub, C), -1, dtype=np.int32)
+        bi[:u1 - u0] = hidx[u0:u1]
+        bv[:u1 - u0] = hval[u0:u1]
+        cd[:u1 - u0] = cand[u0:u1]
+        if sparse:
+            cs, ns = block_sp(Wsp[0], Wsp[1], jnp.asarray(bi),
+                              jnp.asarray(bv), jnp.asarray(cd))
+        else:
+            cs, ns = block_dense(W, jnp.asarray(bi), jnp.asarray(bv),
+                                 jnp.asarray(cd))
+        out_cs[u0:u1] = np.asarray(cs)[:u1 - u0]
+        out_ns[u0:u1] = np.asarray(ns)[:u1 - u0]
+    return out_cs, out_ns
+
+
 @jax.jit
 def _score_block_sparse(Widx, Wval, hist_idx, hist_val):
     """Per-user dense score rows from the padded-sparse model (no masking,
@@ -273,9 +371,10 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def block(Wm, bi, bv, cand, k):
-        safe_idx = jnp.where(bi >= 0, bi, npad - 1)
-        rows = Wm[safe_idx]
-        scores = jnp.einsum("uh,uhn->un", bv, rows)     # (U, npad)
+        hd, _ = _hist_dense(npad, bi, bv)               # no history mask:
+        scores = jnp.dot(hd, Wm,                        # GetRec_1vsk keeps
+                         preferred_element_type=jnp.float32,  # history items
+                         precision=jax.lax.Precision.HIGHEST)
         return gather_cands(scores, cand, k)
 
     @functools.partial(jax.jit, static_argnames=("k",))

@@ -55,8 +55,15 @@ def admm_solve(T, l1r, l2r, n_valid):
     def run(T):
         npad = T.shape[0]
         eye = jnp.eye(npad, dtype=T.dtype)
-        # pad diagonal gets the same shift so the Cholesky stays SPD
-        P = jnp.linalg.inv(T + (l2r + RHO) * eye)
+        # pad diagonal gets the same shift so the Cholesky stays SPD.
+        # Explicit inverse via the Cholesky factor (potrf+potri-style,
+        # estimate.c:152-164): the iteration needs P itself (elementwise
+        # uses of diag(P) and P·diag(gamma)), and chol-solve against I is
+        # the numerically sound way to form it for an ill-conditioned Gram
+        M = T + (l2r + RHO) * eye
+        c, low = jax.scipy.linalg.cho_factor(M)
+        P = jax.scipy.linalg.cho_solve((c, low), eye)
+        P = 0.5 * (P + P.T)          # symmetrize (estimate.c:161-164)
         A = jnp.dot(P, T, preferred_element_type=T.dtype)
         Pdiag = jnp.diagonal(P)
 
@@ -80,9 +87,46 @@ def admm_solve(T, l1r, l2r, n_valid):
         W0 = jnp.zeros_like(T)
         C0 = jnp.zeros_like(T)
         W, Cs = jax.lax.fori_loop(0, MAXITERS, body, (W0, C0))
-        return W
+
+        # residual/objective from the Gram identity (one extra matmul):
+        # ||R - RW||_F² = tr(G) - 2 tr(GW) + tr(Wᵀ G W)
+        GW = jnp.dot(T, W, preferred_element_type=T.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        err = 0.5 * (jnp.trace(T) - 2.0 * jnp.sum(T * W.T)
+                     + jnp.sum(W * GW))
+        obj = err + 0.5 * l2r * jnp.sum(W * W) + l1r * jnp.sum(jnp.abs(W))
+        return W, err, obj
 
     return run(T)
+
+
+def admm_solve_f64(T, l1r, l2r, n_valid):
+    """Float64 numpy reference of :func:`admm_solve` (CPU) -- the parity
+    oracle for the f32 TPU path; mirrors the reference's double-precision
+    MKL pipeline (estimate.c:38-304) step for step."""
+    import scipy.linalg as sla
+
+    T = np.asarray(T, dtype=np.float64)
+    npad = T.shape[0]
+    M = T + (l2r + RHO) * np.eye(npad)
+    c, low = sla.cho_factor(M)
+    P = sla.cho_solve((c, low), np.eye(npad))
+    P = 0.5 * (P + P.T)
+    A = P @ T
+    Pdiag = np.diagonal(P)
+    W = np.zeros_like(T)
+    Cs = np.zeros_like(T)
+    kappa = l1r / RHO
+    for _ in range(MAXITERS):
+        V = W - Cs
+        Tm = RHO * (P @ V) + A
+        gamma = np.diagonal(Tm) / Pdiag
+        Bm = Tm - P * gamma[None, :]
+        alpha = Bm + Cs
+        soft = np.maximum(alpha - kappa, 0.0) - np.maximum(-alpha - kappa, 0.0)
+        W = np.maximum(soft, 0.0)
+        Cs = Cs + (Bm - W)
+    return W
 
 
 def estimate_model_admm(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
@@ -95,7 +139,7 @@ def estimate_model_admm(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     npad = _round_up(n + 1, 128)
     T = gram if gram is not None else compute_gram(train, cfg.gram, pad_to=npad)
 
-    W = admm_solve(T, float(cfg.l1r), float(cfg.l2r), n)
+    W, err, obj = admm_solve(T, float(cfg.l1r), float(cfg.l2r), n)
     W_host = np.asarray(W[:n, :n])
 
     # sparsify W > 0 (strict, estimate.c:241) into the model CSR
@@ -103,7 +147,12 @@ def estimate_model_admm(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     vals = W_host[rows, cols].astype(np.float32)
     model = CSR.from_ijv(rows.astype(np.int32), cols.astype(np.int32), vals,
                          nrows=n, ncols=n)
-    stats = {"nnz": model.nnz, "density": model.nnz / max(n * n, 1)}
+    err = float(err)
+    obj = float(obj)
+    stats = {"loss": obj, "fit": err,
+             "ffrac": err / obj if obj else 0.0,
+             "nnz": model.nnz, "density": model.nnz / max(n * n, 1)}
     if dbg(cfg, SLIM_DBG_INFO):
-        logger.info("ADMM done: nnz %d density %.4f", model.nnz, stats["density"])
+        logger.info("ADMM done: loss %.5e fit %.5e nnz %d density %.4f",
+                    obj, err, model.nnz, stats["density"])
     return model, stats

@@ -120,11 +120,14 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
         l2b = np.full(B, 1.0, dtype=np.float32)
         l1b[:nv] = l1s[pts]
         l2b[:nv] = l2s[pts]
-        out = cd_solve_block_ids(
-            g_dev, jnp.asarray(Jpad), jnp.asarray(caps), zeros_x0, n,
-            jnp.asarray(l1b), jnp.asarray(l2b), float(cfg.optTol),
-            int(cfg.seed) + v0, shuffle=cfg.shuffle,
-            fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=impl)
+        def run(im, Jpad=Jpad, caps=caps, l1b=l1b, l2b=l2b, v0=v0):
+            return cd_solve_block_ids(
+                g_dev, jnp.asarray(Jpad), jnp.asarray(caps), zeros_x0, n,
+                jnp.asarray(l1b), jnp.asarray(l2b), float(cfg.optTol),
+                int(cfg.seed) + v0, shuffle=cfg.shuffle,
+                fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=im)
+
+        out = _dispatch_with_fallback(run, impl, (B, npad))
         pending.append((nv, out))
 
     X_all = np.asarray(jnp.concatenate([o[0] for _, o in pending], axis=0))
@@ -155,18 +158,36 @@ class _Checkpoint:
     checkpoints from other runs can never be mixed in.
     """
 
-    def __init__(self, cfg: SlimConfig, train: CSR, n: int):
+    def __init__(self, cfg: SlimConfig, train: CSR, n: int,
+                 imodel: CSR | None = None):
         import hashlib
         import os
 
         h = hashlib.sha256()
         h.update(np.asarray([train.nrows, n, train.nnz]).tobytes())
         h.update(train.indptr[:: max(1, train.nrows // 64)].tobytes())
+        # sample the actual entries too: same-profile datasets (and the
+        # same dataset with edited values) must not share checkpoints
+        stride = max(1, train.nnz // 256)
+        h.update(train.indices[::stride].tobytes())
+        if train.data is not None:
+            h.update(train.data[::stride].tobytes())
         h.update(np.asarray([cfg.l1r, cfg.l2r, cfg.optTol]).tobytes())
         h.update(np.asarray([cfg.maxniters, cfg.nnbrs, cfg.ordered,
                              cfg.seed, cfg.block_size,
                              int(cfg.shuffle)]).tobytes())
         h.update(cfg.simtype.encode())
+        # warm-start identity: a different -ipmdlfile changes every block's
+        # result whenever columns stop at the sweep cap
+        if imodel is None:
+            h.update(b"none")
+        else:
+            h.update(np.asarray([imodel.nrows, imodel.ncols,
+                                 imodel.nnz]).tobytes())
+            istride = max(1, imodel.nnz // 256)
+            h.update(imodel.indices[::istride].tobytes())
+            if imodel.data is not None:
+                h.update(imodel.data[::istride].tobytes())
         self.sig = h.hexdigest()[:16]
         self.dir = cfg.checkpoint_dir
         os.makedirs(self.dir, exist_ok=True)
@@ -403,7 +424,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # recovery = re-solving only the missing blocks (SURVEY.md §5: the
     # reference has no failure recovery at all; this is the natural
     # coarse-grained equivalent).  Blocks found on disk are skipped.
-    ckpt = _Checkpoint(cfg, train, n) if cfg.checkpoint_dir else None
+    ckpt = _Checkpoint(cfg, train, n, imodel if use_warm else None) \
+        if cfg.checkpoint_dir else None
 
     def block_meta(blk):
         r0 = blk * B

@@ -51,6 +51,38 @@ def test_admm_matches_oracle(rng):
     assert abs(fit(W_ours) - fit(W_ref)) < 1e-3 * max(fit(W_ref), 1.0)
 
 
+def test_admm_f64_parity_mode(rng):
+    """admm_solve (f32, device) vs admm_solve_f64 (numpy, CPU) agreement
+    -- the f64-on-CPU parity mode asked for in SURVEY §7 step 6."""
+    from slim_tpu.solvers.admm import admm_solve, admm_solve_f64
+
+    mat = random_csr(rng, 45, 14, density=0.35)
+    A = mat.to_dense().astype(np.float64)
+    npad = 16
+    T = np.zeros((npad, npad), np.float32)
+    T[:14, :14] = (A.T @ A).astype(np.float32)
+    W32, err, obj = admm_solve(T, 0.8, 1.2, 14)
+    W64 = admm_solve_f64(T, 0.8, 1.2, 14)
+    np.testing.assert_allclose(np.asarray(W32), W64, atol=2e-2)
+    assert float(obj) >= float(err) > 0.0
+
+
+def test_admm_stats_have_loss(rng):
+    """CLI `-algo=admm` must print a real objective (round-1 gap: stats
+    carried only nnz/density so loss printed as 0)."""
+    mat = random_csr(rng, 40, 12, density=0.35)
+    model, stats = estimate_model_admm(mat, SlimConfig(l1r=1.0, l2r=1.0,
+                                                       algo="admm"))
+    A = mat.to_dense().astype(np.float64)
+    W = model.to_scipy().toarray()
+    R = A - A @ W
+    err_ref = 0.5 * np.sum(R * R)
+    obj_ref = err_ref + 0.5 * 1.0 * np.sum(W * W) + 1.0 * np.sum(np.abs(W))
+    assert stats["loss"] > 0
+    np.testing.assert_allclose(stats["fit"], err_ref, rtol=5e-3, atol=1e-2)
+    np.testing.assert_allclose(stats["loss"], obj_ref, rtol=5e-3, atol=1e-2)
+
+
 def test_admm_zero_diagonal(rng):
     mat = random_csr(rng, 50, 15, density=0.3)
     model, _ = estimate_model_admm(mat, SlimConfig(l1r=0.5, l2r=2.0,

@@ -15,6 +15,16 @@ from slim_tpu.predict import predict_topn
 from slim_tpu.api import learn
 
 
+def test_from_dict_niters_default_is_50():
+    """The reference python package defaults niters to 50 in the dict API
+    (core.py:87,165) -- not the C CLI's 10000."""
+    assert SlimConfig.from_dict({}).maxniters == 50
+    assert SlimConfig.from_dict({"niters": 7}).maxniters == 7
+    assert SlimConfig.from_dict({"maxniters": 123}).maxniters == 123
+    # constructing the dataclass directly keeps the C default
+    assert SlimConfig().maxniters == 10000
+
+
 def test_slimatrix_triplets():
     data = [[10, 100, 5.0], [10, 101, 3.0], [20, 100, 2.0], [30, 102, 4.0]]
     m = SLIMatrix(data)

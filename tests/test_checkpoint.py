@@ -33,6 +33,24 @@ def test_checkpoint_resume_identical(tmp_path, rng):
         m3.to_scipy().toarray(), m1.to_scipy().toarray())
 
 
+def test_checkpoint_keyed_by_warmstart_and_data(tmp_path, rng):
+    """The signature must change with the warm-start model and with the
+    matrix entries, not just the shape/nnz profile (stale-key hazard)."""
+    from slim_tpu.solvers.cd import _Checkpoint
+
+    mat = random_csr(rng, 50, 40, density=0.25, seed=93)
+    imodel = random_csr(rng, 40, 40, density=0.1, seed=94)
+    cfg = SlimConfig(l1r=0.4, l2r=0.6, checkpoint_dir=str(tmp_path))
+
+    sig_plain = _Checkpoint(cfg, mat, 40).sig
+    sig_warm = _Checkpoint(cfg, mat, 40, imodel).sig
+    assert sig_plain != sig_warm
+
+    # same shape profile, different entries
+    mat2 = random_csr(rng, 50, 40, density=0.25, seed=95)
+    assert _Checkpoint(cfg, mat2, 40).sig != sig_plain
+
+
 def test_checkpoint_off_by_default(tmp_path, rng):
     mat = random_csr(rng, 30, 20, density=0.3, seed=92)
     estimate_model_cd(mat, SlimConfig(l1r=0.5, l2r=0.5))

@@ -53,15 +53,19 @@ def test_predict_cli_negfile(data_files, rng, capsys):
     assert "hr:" in out
 
 
-def test_mselect_cli(data_files, tmp_path, capsys):
+def test_mselect_cli(data_files, tmp_path, capsys, monkeypatch):
     _, trn_f, tst_f = data_files
     l12 = str(tmp_path / "l12file")
     with open(l12, "w") as fh:
         fh.write("0.2 0.5\n1.0 1.0\n")
+    monkeypatch.chdir(tmp_path)  # per-point models land in cwd
     rc = slim_mselect.main([trn_f, tst_f, l12])
     assert rc == 0
     out = capsys.readouterr().out
     assert "The selected hyperparameters" in out
+    # per-point model files are written by default (slim_mselect.c:110-112)
+    assert (tmp_path / "0.2 0.5.model").exists()
+    assert (tmp_path / "1.0 1.0.model").exists()
 
 
 def test_learn_cli_binarize_and_warmstart(data_files, capsys):
