@@ -13,9 +13,11 @@ TPU-native replacement for the reference's OpenMP shared-memory fan-out
 * results are reassembled by the out-sharding (an all-gather only if the
   caller asks for a replicated model).
 
-For models too large to replicate G (≈ >100k items), G itself must be
-column-sharded and active-set rows exchanged per block; that variant is
-tracked in parallel/ROADMAP (round-2 work).
+For catalogues too large to replicate (or even materialize) G,
+``distributed_learn_blockwise`` computes Gram *blocks* on the fly per
+column super-block (screen psum + compact-Gram psum + sharded solves) --
+G never exists anywhere, so the item-count ceiling is set by the compact
+union width, not n² (SURVEY §7 hard part #1).
 """
 
 from __future__ import annotations
@@ -54,6 +56,79 @@ def make_sharded_gram(mesh: Mesh):
     fn = shard_map(gram, mesh=mesh, in_specs=(P("dp", None),),
                    out_specs=P(None, None))
     return jax.jit(fn)
+
+
+_sharded_gram_sparse_fns: dict = {}
+
+
+def _get_sharded_gram_sparse(mesh: Mesh, rb: int, npad: int):
+    """Jitted SPMD sparse Gram: every device scatter-densifies its row
+    blocks from padded triplets and accumulates partial Grams on its MXU;
+    one psum over the whole grid replicates the full G.  The dense rating
+    matrix is never materialized anywhere (round-1 weakness #3)."""
+    key = (id(mesh), rb, npad)
+    fn = _sharded_gram_sparse_fns.get(key)
+    if fn is None:
+        def gram(lr, cols, vals):
+            def body(g, xs):
+                l, c, v = xs
+                blk = jnp.zeros((rb, npad), jnp.float32)
+                blk = blk.at[l, c].add(v, unique_indices=True, mode="drop")
+                return g + jnp.dot(
+                    blk.T, blk, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), None
+
+            g0 = jnp.zeros((npad, npad), jnp.float32)
+            g, _ = jax.lax.scan(body, g0, (lr, cols, vals))
+            return jax.lax.psum(g, ("dp", "mp"))
+
+        spec = P(("dp", "mp"), None)
+        fn = jax.jit(shard_map(
+            gram, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=P(None, None), check_vma=False))
+        _sharded_gram_sparse_fns[key] = fn
+    return fn
+
+
+def sharded_gram_sparse(train: CSR, mesh: Mesh, pad_to: int,
+                        row_block: int = 4096):
+    """Replicated Gram over the mesh from host triplets.
+
+    Rows are split into ndev equal row-ranges (one per device, over the
+    flattened grid); each range is bucketed into fixed-size row blocks of
+    padded (local_row, col, val) triplets exactly like
+    ops.gram.gram_device_sparse, then the SPMD kernel psums the partial
+    Grams.  Returns the replicated jax.Array.
+    """
+    ndev = mesh.size
+    nrows = train.nrows
+    per_dev = _round_up(max((nrows + ndev - 1) // ndev, 1), row_block)
+    nsteps = per_dev // row_block
+    rows = np.repeat(np.arange(nrows, dtype=np.int64),
+                     np.diff(train.indptr).astype(np.int64))
+    vals = train.values()
+    # bucket by global row block of width row_block; device d owns blocks
+    # [d*nsteps, (d+1)*nsteps)
+    total_steps = ndev * nsteps
+    starts = train.indptr[np.minimum(
+        np.arange(total_steps + 1, dtype=np.int64) * row_block,
+        nrows)].astype(np.int64)
+    bnnz = np.diff(starts)
+    Pw = 1
+    while Pw < max(int(bnnz.max()) if total_steps else 1, 1):
+        Pw *= 2
+    lr = np.full((total_steps, Pw), row_block, dtype=np.int32)  # OOB pad
+    cc = np.zeros((total_steps, Pw), dtype=np.int32)
+    vv = np.zeros((total_steps, Pw), dtype=np.float32)
+    for k in range(total_steps):
+        s, e = starts[k], starts[k + 1]
+        lr[k, :e - s] = (rows[s:e] - k * row_block).astype(np.int32)
+        cc[k, :e - s] = train.indices[s:e]
+        vv[k, :e - s] = vals[s:e]
+    fn = _get_sharded_gram_sparse(mesh, row_block, pad_to)
+    spec = NamedSharding(mesh, P(("dp", "mp"), None))
+    return fn(jax.device_put(lr, spec), jax.device_put(cc, spec),
+              jax.device_put(vv, spec))
 
 
 # --------------------------------------------------------------------- #
@@ -137,87 +212,306 @@ def sharded_learn_step(mesh: Mesh, l1r=1.0, l2r=1.0, optTol=1e-7,
 def distributed_learn(train: CSR, cfg, mesh: Mesh, imodel: CSR | None = None):
     """Learn a model across all devices of ``mesh``.
 
-    Returns (model CSR, stats).  Matches the single-device
-    ``estimate_model_cd`` result (same optimum; identical screening and
-    caps), validated by tests/test_dist.py on a virtual CPU mesh.
-    ``imodel`` warm-starts the solves (estimate.c:453-471 semantics: only
-    screened-active coordinates inherit the previous value).
+    Round-2 design (replaces the dense-A prototype): the rating matrix
+    ships as sparse triplets row-sharded over the whole grid; partial
+    Grams psum into a replicated G (the only collective of the learn);
+    then the SAME single-device driver -- union compaction, Pallas
+    kernels, packed harvests -- runs with column blocks dispatched
+    round-robin across the per-device G replicas
+    (``estimate_model_cd(g_replicas=...)``).  Each chip solves its own
+    blocks concurrently (async dispatch keeps every queue full): the
+    TPU-native form of the reference's OpenMP column fan-out
+    (estimate.c:371-403), with no dense rating matrix anywhere.
+
+    Matches the single-device result (same screening, caps, coordinate
+    order per block), validated by tests/test_dist.py.  ``imodel``
+    warm-starts the solves (estimate.c:453-471).
     """
-    from ..solvers.cd import EPSILON
+    from ..solvers.cd import bucket_npad, estimate_model_cd
+
+    train = train.infer_ncols()
+    npad = bucket_npad(train.ncols)
+
+    g = sharded_gram_sparse(train, mesh, pad_to=npad)
+    # per-device full copies (G is replicated: every addressable shard is
+    # the whole array, zero-copy views)
+    replicas = [s.data for s in g.addressable_shards]
+    model, stats = estimate_model_cd(train, cfg, imodel=imodel,
+                                     g_replicas=replicas)
+    stats["ndevices"] = mesh.size
+    return model, stats
+
+
+# --------------------------------------------------------------------- #
+# blockwise distributed learn: G never materialized (>100k items)
+# --------------------------------------------------------------------- #
+_blockwise_fns: dict = {}
+
+
+def _get_blockwise_fns(mesh: Mesh, rb: int, npad: int, Bsup: int, K: int,
+                       l1r: float, l2r: float, optTol: float, shuffle: bool,
+                       fslim_nnbrs: int, simtype: str):
+    """Jitted SPMD programs for one super-block, cached per shape.
+
+    screen(lr, cc, vv, jarr)  -> (aty (npad, Bsup) repl, flags (npad,) repl)
+        ATY = AᵀA[:, jarr] accumulated from the row-sharded triplets by
+        scatter (cost O(nnz·Bsup), the reference's own screening
+        asymptotics, estimate.c:411-421) and psum'd; flags = union active
+        mask over the block (screen G[:,j] > l1r, self excluded -- or the
+        FSLIM top-k sets).
+    gramc(lr, cc, vv, S)      -> Gs (K, K) replicated
+        compact Gram G[S, S] = (A[:, S])ᵀ A[:, S]: per row block the
+        S-restricted slice is scatter-densified via an S-position lookup
+        and accumulated on the MXU; psum replicates.
+    solve(Gs, gjs, js, caps, x0s, diag_full, seed) -> per-column results
+        columns sharded over the flattened grid; every device runs the
+        batched CD core against the replicated compact Gram.
+    """
+    key = (id(mesh), rb, npad, Bsup, K, l1r, l2r, optTol, shuffle,
+           fslim_nnbrs, simtype)
+    fns = _blockwise_fns.get(key)
+    if fns is not None:
+        return fns
+
+    from ..ops.cd_kernel import _cd_core, fslim_active_mask
+
+    def screen(lr, cc, vv, jarr, diag_full):
+        jl = jnp.full((npad,), Bsup, jnp.int32).at[jarr].set(
+            jnp.arange(Bsup, dtype=jnp.int32))
+
+        def body(aty, xs):
+            l, c, v = xs
+            ypos = jl[c]                                  # (Pw,)
+            yblk = jnp.zeros((rb, Bsup), jnp.float32)
+            yblk = yblk.at[l, ypos].add(v, mode="drop")   # A[:, jarr] rows
+            contrib = v[:, None] * yblk[jnp.clip(l, 0, rb - 1)]
+            return aty.at[c].add(
+                jnp.where((l[:, None] >= 0) & (l[:, None] < rb), contrib,
+                          0.0), mode="drop"), None
+
+        aty0 = jnp.zeros((npad, Bsup), jnp.float32)
+        aty, _ = jax.lax.scan(body, aty0, (lr, cc, vv))
+        aty = jax.lax.psum(aty, ("dp", "mp"))
+        rows = jnp.arange(npad, dtype=jnp.int32)
+        if fslim_nnbrs > 0:
+            active = fslim_active_mask(
+                aty.T, diag_full, jarr, npad, fslim_nnbrs, simtype).T
+        else:
+            active = (aty > l1r) & (rows[:, None] != jarr[None, :])
+        flags = jnp.any(active, axis=1)
+        return aty, flags
+
+    spec = P(("dp", "mp"), None)
+    screen_fn = jax.jit(shard_map(
+        screen, mesh=mesh, in_specs=(spec, spec, spec, P(None), P(None)),
+        out_specs=(P(None, None), P(None)), check_vma=False))
+
+    def gramc(lr, cc, vv, S):
+        lookup = jnp.full((npad,), K, jnp.int32).at[S].set(
+            jnp.arange(K, dtype=jnp.int32))
+
+        def body(g, xs):
+            l, c, v = xs
+            cpos = lookup[c]
+            blk = jnp.zeros((rb, K), jnp.float32)
+            blk = blk.at[l, cpos].add(v, unique_indices=True, mode="drop")
+            return g + jnp.dot(blk.T, blk,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST), None
+
+        g0 = jnp.zeros((K, K), jnp.float32)
+        g, _ = jax.lax.scan(body, g0, (lr, cc, vv))
+        return jax.lax.psum(g, ("dp", "mp"))
+
+    gramc_fn = jax.jit(shard_map(
+        gramc, mesh=mesh, in_specs=(spec, spec, spec, P(None)),
+        out_specs=P(None, None), check_vma=False))
+
+    def diag_part(lr, cc, vv):
+        d = jnp.zeros((npad,), jnp.float32).at[cc.reshape(-1)].add(
+            jnp.where(lr.reshape(-1) < rb, vv.reshape(-1) ** 2, 0.0),
+            mode="drop")
+        return jax.lax.psum(d, ("dp", "mp"))
+
+    diag_fn = jax.jit(shard_map(
+        diag_part, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=P(None), check_vma=False))
+
+    def solve(Gs, gjs, js, caps, x0s, S, yty, seed):
+        diag_s = jnp.diagonal(Gs)
+        pad_mask = S != (npad - 1)
+        if fslim_nnbrs > 0:
+            active_s = fslim_active_mask(
+                gjs, diag_s, js, npad, fslim_nnbrs, simtype,
+                col_ids=S, self_norms=jnp.sqrt(yty)) & pad_mask[None, :]
+        else:
+            active_s = (gjs > l1r) & (S[None, :] != js[:, None]) \
+                & pad_mask[None, :]
+        seed_local = seed + jax.lax.axis_index("dp") * 131071 \
+            + jax.lax.axis_index("mp") * 8191
+        return _cd_core(Gs, gjs, diag_s, active_s, x0s, caps, yty,
+                        l1r, l2r, optTol, seed_local, shuffle)
+
+    cols = P(("dp", "mp"))
+    cols2 = P(("dp", "mp"), None)
+    solve_fn = jax.jit(shard_map(
+        solve, mesh=mesh,
+        in_specs=(P(None, None), cols2, cols, cols, cols2, P(None), cols,
+                  P()),
+        out_specs=(cols2, cols, cols, cols, cols), check_vma=False))
+
+    fns = (screen_fn, gramc_fn, diag_fn, solve_fn)
+    _blockwise_fns[key] = fns
+    return fns
+
+
+def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
+                                imodel: CSR | None = None,
+                                row_block: int = 512):
+    """Distributed CD learn for catalogues where G cannot be materialized.
+
+    Per super-block of ndev·block_size item columns (frequency-rank
+    order): one psum'd screen pass produces the union active set, one
+    psum'd compact-Gram pass produces G[S, S], and the columns solve
+    sharded over the grid -- exact SLIM/FSLIM semantics with per-block
+    O(K²) memory instead of O(n²) anywhere (SURVEY §7 hard part #1).
+    Collective traffic per super-block: (npad, Bsup) + (K, K) over ICI.
+    """
+    from ..solvers.cd import EPSILON, bucket_npad
 
     train = train.infer_ncols()
     n = train.ncols
+    npad = bucket_npad(n)
     ndev = mesh.size
     B = int(cfg.block_size)
-    S = ndev * B
-    npad = _round_up(n + 1, 128)
-
-    # densify + row-pad to a dp multiple (zero rows contribute nothing)
-    dp = mesh.shape["dp"]
-    nrows_pad = _round_up(max(train.nrows, dp), dp)
-    A = np.zeros((nrows_pad, npad), dtype=np.float32)
-    rows = np.repeat(np.arange(train.nrows),
-                     train.row_nnz().astype(np.int64))
-    A[rows, train.indices] = train.values()
-    a_dev = jax.device_put(
-        A, NamedSharding(mesh, P("dp", None)))
-
-    gram_fn = make_sharded_gram(mesh)
-    g = gram_fn(a_dev)
-
-    solve_fn = make_sharded_solve(mesh, float(cfg.l1r), float(cfg.l2r),
-                                  float(cfg.optTol), shuffle=cfg.shuffle)
+    Bsup = ndev * B
+    fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
 
     csc = train.transpose()
     nnz_col = csc.row_nnz().astype(np.int64)
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
-    order = np.argsort(-nnz_col, kind="stable").astype(np.int32)
+    p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
+    posmap = np.empty(n, dtype=np.int32)
+    posmap[p] = np.arange(n, dtype=np.int32)
+    caps_p = col_caps[p]
 
-    out_cols = [None] * n
+    # row-sharded padded triplets in RANK space, device_put once
+    nrows = train.nrows
+    per_dev = _round_up(max((nrows + ndev - 1) // ndev, 1), row_block)
+    total_steps = ndev * (per_dev // row_block)
+    starts = train.indptr[np.minimum(
+        np.arange(total_steps + 1, dtype=np.int64) * row_block,
+        nrows)].astype(np.int64)
+    bnnz = np.diff(starts)
+    Pw = 1
+    while Pw < max(int(bnnz.max()) if total_steps else 1, 1):
+        Pw *= 2
+    rows = np.repeat(np.arange(nrows, dtype=np.int64),
+                     np.diff(train.indptr).astype(np.int64))
+    vals = train.values()
+    lr = np.full((total_steps, Pw), row_block, dtype=np.int32)
+    cc = np.full((total_steps, Pw), npad - 1, dtype=np.int32)
+    vv = np.zeros((total_steps, Pw), dtype=np.float32)
+    for k in range(total_steps):
+        s, e = starts[k], starts[k + 1]
+        lr[k, :e - s] = (rows[s:e] - k * row_block).astype(np.int32)
+        cc[k, :e - s] = posmap[train.indices[s:e]]
+        vv[k, :e - s] = vals[s:e]
+    spec = NamedSharding(mesh, P(("dp", "mp"), None))
+    lr_d = jax.device_put(lr, spec)
+    cc_d = jax.device_put(cc, spec)
+    vv_d = jax.device_put(vv, spec)
+
+    use_warm = imodel is not None and cfg.mtype in ("slim", "oslim")
+    imodel_csc = imodel.transpose() if use_warm else None
+
+    cols_spec = NamedSharding(mesh, P(("dp", "mp")))
+    cols2_spec = NamedSharding(mesh, P(("dp", "mp"), None))
+    repl = NamedSharding(mesh, P(None))
+
     total_err = total_obj = 0.0
-    shard_spec = NamedSharding(mesh, P(("dp", "mp")))
-    shard_spec2 = NamedSharding(mesh, P(("dp", "mp"), None))
+    total_niters = 0
+    coord_ids, target_ids, out_vals = [], [], []
 
-    imodel_csc = imodel.transpose() if imodel is not None else None
+    screen_fn, _, diag_fn, _ = _get_blockwise_fns(
+        mesh, row_block, npad, Bsup, 1, float(cfg.l1r), float(cfg.l2r),
+        float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
+    diag_dev = diag_fn(lr_d, cc_d, vv_d)
 
-    for s0 in range(0, n, S):
-        J = order[s0:s0 + S]
-        Jpad = np.full(S, npad - 1, dtype=np.int32)
-        Jpad[:len(J)] = J
-        caps = np.zeros(S, dtype=np.int32)
-        caps[:len(J)] = col_caps[J]
-        j_dev = jax.device_put(Jpad, shard_spec)
-        c_dev = jax.device_put(caps, shard_spec)
-        x0_host = np.zeros((S, npad), np.float32)
-        if imodel_csc is not None:
-            for b, j in enumerate(J):
-                lo = int(imodel_csc.indptr[j])
-                hi = int(imodel_csc.indptr[j + 1])
-                x0_host[b, imodel_csc.indices[lo:hi]] = \
-                    imodel_csc.values()[lo:hi]
-        x0 = jax.device_put(x0_host, shard_spec2)
+    # frequency-rank order puts every empty column at the tail; an empty
+    # column has cap 0 and a zero solution, so the loop stops at the last
+    # nonempty one (the reference skips them the same way via the nnz==0
+    # guard, estimate.c:416)
+    n_eff = int((nnz_col > 0).sum())
+
+    for s0 in range(0, n_eff, Bsup):
+        nJ = min(Bsup, n_eff - s0)
+        jarr = np.full(Bsup, npad - 1, dtype=np.int32)
+        jarr[:nJ] = np.arange(s0, s0 + nJ, dtype=np.int32)
+        caps = np.zeros(Bsup, dtype=np.int32)
+        caps[:nJ] = caps_p[s0:s0 + nJ]
+
+        aty, flags = screen_fn(lr_d, cc_d, vv_d,
+                               jax.device_put(jarr, repl), diag_dev)
+        flags_h = np.asarray(flags)
+        ids = np.nonzero(flags_h)[0]
+        # S must contain the targets (the solve reads gj at the target's
+        # compact position); the self column stays inactive via the mask
+        ids = np.union1d(ids, jarr[:nJ]).astype(np.int64)
+        K = min(bucket_npad(max(ids.size, 1)), npad)
+        S = np.full(K, npad - 1, dtype=np.int32)
+        S[:min(ids.size, K)] = ids[:K].astype(np.int32)
+
+        _, gramc_fn, _, solve_fn = _get_blockwise_fns(
+            mesh, row_block, npad, Bsup, K, float(cfg.l1r), float(cfg.l2r),
+            float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
+        S_dev = jax.device_put(S, repl)
+        Gs = gramc_fn(lr_d, cc_d, vv_d, S_dev)
+
+        x0_host = np.zeros((Bsup, K), np.float32)
+        if use_warm:
+            lookup = np.full(npad, -1, np.int64)
+            lookup[S] = np.arange(K)
+            for b in range(nJ):
+                j = p[s0 + b]
+                lo, hi = int(imodel_csc.indptr[j]), \
+                    int(imodel_csc.indptr[j + 1])
+                pos = lookup[posmap[imodel_csc.indices[lo:hi]]]
+                ok = pos >= 0
+                x0_host[b, pos[ok]] = imodel_csc.values()[lo:hi][ok]
+
+        # gjs = ATY[S, :].T for this block's columns; yty = ATY[j, b]
+        gjs = jnp.take(aty, S_dev, axis=0).T              # (Bsup, K)
+        yty = jnp.take(diag_dev, jax.device_put(jarr, repl))
         x, niters, rstatus, rnorm, obj = solve_fn(
-            g, j_dev, c_dev, x0, int(cfg.seed) + s0)
-        x_host = np.asarray(x)[:len(J), :n]
-        total_err += float(np.asarray(rnorm)[:len(J)].sum())
-        total_obj += float(np.asarray(obj)[:len(J)].sum())
-        for b, j in enumerate(J):
-            nz = np.nonzero(np.abs(x_host[b]) > EPSILON)[0]
-            out_cols[j] = (nz.astype(np.int32), x_host[b, nz])
+            Gs, jax.device_put(np.asarray(gjs), cols2_spec),
+            jax.device_put(jarr, cols_spec),
+            jax.device_put(caps, cols_spec),
+            jax.device_put(x0_host, cols2_spec), S_dev,
+            jax.device_put(np.asarray(yty), cols_spec),
+            int(cfg.seed) + s0 // Bsup)
 
-    coord, target, vals = [], [], []
-    for j in range(n):
-        nz, xv = out_cols[j]
-        coord.append(nz)
-        target.append(np.full(len(nz), j, np.int32))
-        vals.append(xv)
+        x_h = np.asarray(x)[:nJ]
+        st = np.stack([np.asarray(rnorm), np.asarray(obj),
+                       np.asarray(niters, np.float64)], axis=1)[:nJ]
+        rows_b, cols_b = np.nonzero(np.abs(x_h) > EPSILON)
+        vals_b = x_h[rows_b, cols_b].astype(np.float32)
+        coords_perm = S[cols_b]
+        keep = coords_perm < n
+        coord_ids.append(p[coords_perm[keep]])
+        target_ids.append(p[s0 + rows_b[keep]])
+        out_vals.append(vals_b[keep])
+        total_err += float(st[:, 0].sum())
+        total_obj += float(st[:, 1].sum())
+        total_niters += int(st[:, 2].sum())
+
     model = CSR.from_ijv(
-        np.concatenate(coord) if coord else np.zeros(0, np.int32),
-        np.concatenate(target) if target else np.zeros(0, np.int32),
-        np.concatenate(vals) if vals else np.zeros(0, np.float32),
+        np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
+        np.concatenate(target_ids) if target_ids else np.zeros(0, np.int32),
+        np.concatenate(out_vals) if out_vals else np.zeros(0, np.float32),
         nrows=n, ncols=n)
     stats = {"loss": total_obj, "fit": total_err, "nnz": model.nnz,
-             "ndevices": ndev}
+             "niters": total_niters, "ndevices": ndev, "mode": "blockwise"}
     return model, stats
 
 

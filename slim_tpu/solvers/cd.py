@@ -287,13 +287,21 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
 
 
 def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
-                      gram=None):
+                      gram=None, g_replicas=None):
     """Estimate the SLIM/FSLIM model with batched coordinate descent.
 
     Returns ``(model, stats)`` where model is a CSR with rows = rated item,
     cols = target item (same orientation as the reference model,
     estimate.c:570-593) and stats carries loss/objective/nnz totals
     (printed by the reference at estimate.c:552-555).
+
+    ``g_replicas`` (multi-chip mode): per-device copies of the Gram in
+    ORIGINAL item space (e.g. the addressable shards of a replicated
+    psum-Gram).  Column blocks are dispatched round-robin across the
+    replicas -- every device runs the same mature kernel stack (union
+    compaction, Pallas, packed harvest) on its own blocks, which is the
+    TPU-native form of the reference's ``omp for schedule(dynamic,32)``
+    over columns (estimate.c:402).
     """
     import time as _time
 
@@ -325,7 +333,20 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     posmap = np.empty(n, dtype=np.int32)
     posmap[p] = np.arange(n, dtype=np.int32)
 
-    if gram is not None:
+    g_all = None
+    if g_replicas is not None:
+        # multi-chip: permute each device's replica in place (two gathers
+        # per device, dispatched async)
+        import jax as _jax
+
+        p_pad = np.concatenate([p, np.arange(n, npad, dtype=np.int32)])
+        g_all = []
+        for g_r in g_replicas:
+            dev = next(iter(g_r.devices()))
+            p_d = _jax.device_put(p_pad, dev)
+            g_all.append(jnp.take(jnp.take(g_r, p_d, axis=0), p_d, axis=1))
+        g_dev = g_all[0]
+    elif gram is not None:
         # shared Gram (mselect) arrives in original item space: permute
         # rows+cols on device (two gathers), keeping the zero padding
         p_pad = np.concatenate([p, np.arange(n, npad, dtype=np.int32)])
@@ -454,9 +475,12 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             g_dev, jnp.asarray(j_all), float(cfg.l1r),
             fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
         counts_host = np.asarray(counts)
+        # host copy keeps the per-block S movable to any replica's device
+        S_host = np.asarray(S_all) if g_all is not None else S_all
         for blk in range(nblocks):
             K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
-            union_S[blk] = (K, S_all[blk, :K])
+            union_S[blk] = (K, jnp.asarray(S_host[blk, :K])
+                            if g_all is not None else S_all[blk, :K])
     elif use_compact:
         # screening unions: one slice-reduce pass over G on device, the
         # (nblocks, npad) flag matrix fetched in a single small transfer,
@@ -482,6 +506,12 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 union_S[blk] = (K, batch[i])
 
     _mark("unions")
+    if use_compact and dbg(cfg, SLIM_DBG_TIME):
+        from collections import Counter
+
+        hist = Counter(K for K, _ in union_S.values())
+        logger.info("union widths: %s",
+                    " ".join(f"{k}:{v}" for k, v in sorted(hist.items())))
 
     # phase 2: dispatch all block solves asynchronously; harvest at the
     # end so the device queue stays full (no host sync between blocks)
@@ -496,15 +526,16 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 continue
         r0, nJ, Jpad, caps = block_meta(blk)
         x0 = warm_x0(r0, nJ) if use_warm else zeros_x0
+        g_blk = g_all[blk % len(g_all)] if g_all is not None else g_dev
 
         if use_compact and union_S[blk][0] < npad:
             K, S = union_S[blk]
             x0s = jnp.take(x0, S, axis=1)
 
             def solve_cols(im, i, b, S=S, Jpad=Jpad, caps=caps, x0s=x0s,
-                           blk=blk):
+                           blk=blk, g_blk=g_blk):
                 return cd_solve_block_compact(
-                    g_dev, S, jnp.asarray(Jpad[i:i + b]),
+                    g_blk, S, jnp.asarray(Jpad[i:i + b]),
                     jnp.asarray(caps[i:i + b]), x0s[i:i + b],
                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                     int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im,
@@ -513,9 +544,10 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             out = dispatch_split(solve_cols, K)
             pending.append((nJ, out, S))
         else:
-            def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk):
+            def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
+                           g_blk=g_blk):
                 return cd_solve_block_ids(
-                    g_dev, jnp.asarray(Jpad[i:i + b]),
+                    g_blk, jnp.asarray(Jpad[i:i + b]),
                     jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                     int(cfg.seed) + blk, shuffle=cfg.shuffle,
@@ -527,20 +559,24 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     _mark("dispatch")
 
-    # single concatenated device->host fetch per block-width group
-    # (per-array round trips cost ~40ms each through tunneled TPU setups;
-    # compact blocks come in a handful of bucketed widths)
+    # single concatenated device->host fetch per (block-width, device)
+    # group (per-array round trips cost ~40ms each through tunneled TPU
+    # setups; compact blocks come in a handful of bucketed widths; in
+    # multi-chip mode arrays living on different chips cannot concatenate)
     solved = [(blk, nJ, out, S) for blk, (nJ, out, S) in enumerate(pending)
               if out is not None]
     by_width = {}
     for rec in solved:
-        by_width.setdefault(int(rec[2][0].shape[1]), []).append(rec)
+        dev_key = (id(next(iter(rec[2][0].devices())))
+                   if g_all is not None else 0)
+        by_width.setdefault((int(rec[2][0].shape[1]), dev_key),
+                            []).append(rec)
 
     total_err = total_obj = 0.0
     total_niters = 0
     coord_ids, target_ids, vals = [], [], []
 
-    for width, group in by_width.items():
+    for (width, _dev), group in by_width.items():
         # model compaction ON DEVICE: for wide blocks fetch only the top-M
         # entries + counts (~2M+1 floats/col) instead of the full width-K
         # row -- the fetch, not the solve, dominates wide-block harvests

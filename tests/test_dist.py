@@ -57,6 +57,65 @@ def test_sharded_learn_step_compiles_and_runs():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_blockwise_matches_single_device(rng):
+    """G-free blockwise mode vs the single-device solver (exact same
+    screening/caps => same optimum)."""
+    from slim_tpu.parallel.dist import distributed_learn_blockwise
+
+    mat = random_csr(rng, 64, 40, density=0.25, seed=78)
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, block_size=8,
+                     shuffle=False)
+    mesh = make_mesh(8)
+    bw_model, bw_stats = distributed_learn_blockwise(mat, cfg, mesh)
+    single_model, single_stats = estimate_model_cd(mat, cfg)
+    np.testing.assert_allclose(bw_model.to_scipy().toarray(),
+                               single_model.to_scipy().toarray(), atol=5e-4)
+    np.testing.assert_allclose(bw_stats["fit"], single_stats["fit"],
+                               rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_blockwise_100k_items_no_dense_g(rng):
+    """The >100k-item regime (round-1 weakness #4): G would be 68GB dense;
+    the blockwise mode never materializes it.  Quality checked against the
+    native reference oracle."""
+    from slim_tpu.parallel.dist import distributed_learn_blockwise
+    from slim_tpu import native
+
+    nrows, ncols, nnz = 1500, 100_001, 60_000
+    r = np.random.default_rng(3)
+    users = r.integers(0, nrows, nnz)
+    # catalogue is 100k+ items but activity concentrates on ~1.5k of them
+    # (real long-tail shape); empty tail columns are skipped exactly
+    items = (r.zipf(1.2, nnz * 2) % 1500)[:nnz] * 67 % ncols
+    from slim_tpu.types import CSR
+    mat = CSR.from_ijv(users, items, np.ones(nnz, np.float32),
+                       nrows, ncols).binarize()
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, block_size=16, shuffle=False)
+    mesh = make_mesh(8)
+    model, stats = distributed_learn_blockwise(mat, cfg, mesh)
+    assert model.nnz > 0 and stats["loss"] > 0
+    if native.available():
+        _, _, obj = native.cd_learn(mat, l1r=0.5, l2r=0.5, optTol=1e-7,
+                                    maxniters=10000, nthreads=0)
+        np.testing.assert_allclose(stats["loss"], obj, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_blockwise_fslim(rng):
+    from slim_tpu.parallel.dist import distributed_learn_blockwise
+
+    mat = random_csr(rng, 60, 30, density=0.3, seed=79)
+    cfg = SlimConfig(l1r=0.2, l2r=0.5, nnbrs=3, simtype="cos",
+                     block_size=4, shuffle=False)
+    mesh = make_mesh(8)
+    bw_model, _ = distributed_learn_blockwise(mat, cfg, mesh)
+    single_model, _ = estimate_model_cd(mat, cfg)
+    np.testing.assert_allclose(bw_model.to_scipy().toarray(),
+                               single_model.to_scipy().toarray(), atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_predict_matches_single(rng):
     mat = random_csr(rng, 50, 30, density=0.3, seed=5)
     cfg = SlimConfig(l1r=0.3, l2r=0.5)
