@@ -155,6 +155,39 @@ def pack_topm(x, eps, M):
         axis=1)
 
 
+@jax.jit
+def count_over(x, eps):
+    """Per-column model nnz: count of entries > eps (reference keeps
+    entries > EPSILON=1e-7, slim.h:61)."""
+    return jnp.sum(x > eps, axis=1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("Tpad", "idx16"))
+def pack_flat(x, eps, offsets, Tpad, idx16):
+    """Exact-size flat harvest pack (device-side model compaction).
+
+    x (B, K) nonneg solution block; offsets (B,) exclusive prefix sums of
+    the per-column counts (host-computed from a prior :func:`count_over`
+    fetch); Tpad static >= total count.  Returns (vals (Tpad,) f32,
+    idx (Tpad,) uint16|int32): entries of column b land at
+    [offsets[b], offsets[b]+cnt[b]) in ascending coordinate order.  The
+    device->host harvest then moves exactly 6 (or 8) bytes per model
+    nonzero -- no top-M overflow refetches, no width-K padding.
+    """
+    B, K = x.shape
+    mask = x > eps
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(mask, offsets[:, None] + rank, Tpad)
+    flat_val = jnp.zeros((Tpad,), x.dtype).at[pos.reshape(-1)].set(
+        x.reshape(-1), mode="drop", unique_indices=True)
+    cols = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+    idt = jnp.uint16 if idx16 else jnp.int32
+    flat_idx = jnp.zeros((Tpad,), idt).at[pos.reshape(-1)].set(
+        cols.astype(idt).reshape(-1), mode="drop", unique_indices=True)
+    return flat_val, flat_idx
+
+
 @functools.partial(jax.jit, static_argnames=("nblocks", "B"))
 def block_union_flags(G, nblocks, B, l1r):
     """Screening-union membership flags for consecutive-rank blocks in one

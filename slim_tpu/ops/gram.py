@@ -170,6 +170,82 @@ def gram_device_sparse(mat: CSR, pad_to: int | None = None,
     return fn(jnp.asarray(lr), jnp.asarray(cc), jnp.asarray(vv))
 
 
+_gram_csr_fns: dict = {}
+
+
+def _get_gram_csr(rb: int, npad: int, P: int, nrb: int, ones: bool,
+                  nnz: int, nrows: int):
+    """Jitted CSR-to-Gram kernel: ships only the CSR column indices
+    (uint16 when the catalogue fits, i.e. 2 bytes/nnz) and expands the
+    per-row-block padded triplets ON DEVICE by gather + searchsorted --
+    the 12-byte/nnz padded host triplets of the older path cost 10x the
+    tunnel bytes.  Values are implicit 1.0 for binary matrices (``ones``)
+    and shipped f32 otherwise."""
+    key = (rb, npad, P, nrb, ones, nnz, nrows)
+    fn = _gram_csr_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def gram_csr(idx, val, starts, indptr):
+            def body(g, k):
+                s = starts[k]
+                e = s + jnp.arange(P, dtype=jnp.int32)
+                valid = e < starts[k + 1]
+                esafe = jnp.minimum(e, nnz - 1)
+                c = jnp.take(idx, esafe).astype(jnp.int32)
+                r = jnp.searchsorted(indptr, esafe, side="right") \
+                    .astype(jnp.int32) - 1
+                l = jnp.where(valid, r - k * rb, rb)   # OOB pad -> dropped
+                if ones:
+                    v = valid.astype(jnp.float32)
+                else:
+                    v = jnp.where(valid, jnp.take(val, esafe), 0.0)
+                blk = jnp.zeros((rb, npad), jnp.float32)
+                blk = blk.at[l, c].add(v, unique_indices=True, mode="drop")
+                return g + jnp.dot(
+                    blk.T, blk, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), None
+
+            g0 = jnp.zeros((npad, npad), jnp.float32)
+            g, _ = jax.lax.scan(body, g0, jnp.arange(nrb, dtype=jnp.int32))
+            return g
+
+        fn = _gram_csr_fns[key] = gram_csr
+    return fn
+
+
+def gram_device_csr(mat: CSR, pad_to: int | None = None,
+                    row_block: int = 8192):
+    """Device Gram shipping ~2 bytes/nnz (binary) or ~6 bytes/nnz: CSR
+    column indices (+ values when non-binary) upload once; row ids and the
+    per-row-block bucketing are reconstructed on device."""
+    import jax
+    import jax.numpy as jnp
+
+    n = pad_to if pad_to is not None else mat.ncols
+    n = _round_up(max(n, 1), 128)
+    nrb = max((mat.nrows + row_block - 1) // row_block, 1)
+    starts = mat.indptr[np.minimum(
+        np.arange(nrb + 1, dtype=np.int64) * row_block,
+        mat.nrows)].astype(np.int32)
+    bnnz = np.diff(starts)
+    P = 1
+    while P < max(int(bnnz.max()) if nrb else 1, 1):
+        P *= 2
+    vals = mat.values()
+    ones = bool(vals.size == 0 or
+                (vals[0] == 1.0 and np.all(vals == 1.0)))
+    idx = mat.indices.astype(np.uint16 if n <= 65536 else np.int32)
+    val_d = jnp.zeros((1,), jnp.float32) if ones \
+        else jnp.asarray(vals.astype(np.float32))
+    fn = _get_gram_csr(row_block, n, P, nrb, ones, max(int(mat.nnz), 1),
+                       mat.nrows)
+    return fn(jnp.asarray(idx), val_d, jnp.asarray(starts),
+              jnp.asarray(mat.indptr.astype(np.int32)))
+
+
 def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     """Compute G, returning a device array padded to ``pad_to`` (multiple of
     128 recommended).
@@ -186,7 +262,7 @@ def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     if mode == "host":
         return jnp.asarray(gram_host(mat, pad_to=n))
     if mode == "device":
-        return gram_device_sparse(mat, pad_to=n)
+        return gram_device_csr(mat, pad_to=n)
     if mode != "auto":
         raise ValueError(f"unknown gram mode {mode!r}")
 
@@ -194,14 +270,13 @@ def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     nnz_per_row = mat.row_nnz().astype(np.float64)
     sparse_ops = float(np.sum(nnz_per_row ** 2))
     # constants measured on this class of setup (tunnelled v5e, 4-core
-    # host): tunnel ~50MB/s, device f32-HIGHEST matmul ~2e13 flop/s,
-    # host SpGEMM ~4e7 op/s.  At 138k x 27k x 10M nnz: device 12s
-    # (9.3s matmul+scatter, 2.4s triplet upload) vs host 94s (17s
-    # compute + 77s shipping the 3.3GB G through the tunnel).
+    # host): tunnel ~30-50MB/s, device f32-HIGHEST matmul ~2e13 flop/s,
+    # host SpGEMM ~4e7 op/s.  The device path ships ~2-6 bytes/nnz (CSR
+    # indices, on-device expansion); the host path ships the n² G.
     bw = 50e6
     t_host = sparse_ops / 4e7 + float(n) * n * 4 / bw
-    t_dev = (dense_flops / 2e13 + mat.nnz * 12.0 / bw
+    t_dev = (dense_flops / 2e13 + mat.nnz * 6.0 / bw
              + mat.nnz / 2e8)                       # scatter term
     if t_host < t_dev or mat.nrows * float(n) * n > 4e13:
         return jnp.asarray(gram_host(mat, pad_to=n))
-    return gram_device_sparse(mat, pad_to=n)
+    return gram_device_csr(mat, pad_to=n)

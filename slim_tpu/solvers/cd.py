@@ -40,14 +40,23 @@ def bucket_npad(n: int) -> int:
     """Pad the coordinate dimension to a bucketed size ({256, 384, 512,
     768, 1024, ...}: powers of two plus 1.5x intermediates) so different
     datasets share compiled kernels -- each distinct shape costs minutes
-    on remote-compile TPU setups."""
+    on remote-compile TPU setups.
+
+    Above 16384 the buckets step by 4096 instead: sweep cost grows with
+    npad² so pow2 padding wastes up to 75% more FLOPs there (27278 items
+    would pad to 32768 instead of 28672), while the per-dataset compile
+    count stays small.  4096 is a multiple of the Pallas PANEL (1024) and
+    of CHUNK (128)."""
     m = 256
-    while True:
+    while m + m // 2 < 16384:
         if n + 1 <= m:
             return m
         if n + 1 <= m + m // 2:
             return m + m // 2
         m *= 2
+    if n + 1 <= 16384:
+        return 16384
+    return ((n + 1 + 4095) // 4096) * 4096
 
 
 def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
@@ -469,18 +478,21 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # phase 1 (compact only): union active sets for every block, counts
     # fetched in one transfer, K bucketed per block for compile reuse
     union_S = {}
+    union_S_host = {}
     if use_compact and fslim_nnbrs > 0:
         j_all = np.stack([block_meta(blk)[2] for blk in range(nblocks)])
         S_all, counts = block_union_masks_batched(
             g_dev, jnp.asarray(j_all), float(cfg.l1r),
             fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
         counts_host = np.asarray(counts)
-        # host copy keeps the per-block S movable to any replica's device
-        S_host = np.asarray(S_all) if g_all is not None else S_all
+        # host copy: keeps the per-block S movable to any replica's device
+        # and feeds the harvest's compact->rank index mapping
+        S_host = np.asarray(S_all)
         for blk in range(nblocks):
             K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
             union_S[blk] = (K, jnp.asarray(S_host[blk, :K])
                             if g_all is not None else S_all[blk, :K])
+            union_S_host[blk] = S_host[blk, :K]
     elif use_compact:
         # screening unions: one slice-reduce pass over G on device, the
         # (nblocks, npad) flag matrix fetched in a single small transfer,
@@ -504,6 +516,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             batch = jnp.asarray(np.stack([s_host[b] for b in blks]))
             for i, blk in enumerate(blks):
                 union_S[blk] = (K, batch[i])
+                union_S_host[blk] = s_host[blk]
 
     _mark("unions")
     if use_compact and dbg(cfg, SLIM_DBG_TIME):
@@ -542,7 +555,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                     fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
 
             out = dispatch_split(solve_cols, K)
-            pending.append((nJ, out, S))
+            pending.append((nJ, out, union_S_host[blk]))
         else:
             def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
                            g_blk=g_blk):
@@ -559,98 +572,89 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     _mark("dispatch")
 
-    # single concatenated device->host fetch per (block-width, device)
-    # group (per-array round trips cost ~40ms each through tunneled TPU
-    # setups; compact blocks come in a handful of bucketed widths; in
-    # multi-chip mode arrays living on different chips cannot concatenate)
+    # Harvest: exact-size device-side flat pack.  One concatenated count
+    # fetch synchronizes all solves, then each block packs its model
+    # entries into a (Tpad,) value + uint16/int32 coordinate pair and the
+    # packs are fetched in a handful of concatenated transfers (grouped by
+    # pow2 Tpad bucket, and by device in multi-chip mode).  The harvest
+    # moves exactly ~6 bytes per model nonzero -- no width-K padding, no
+    # top-M overflow refetches -- which matters because the tunnel's
+    # bandwidth (not the solve) can dominate wide-block harvests.
+    from ..ops.cd_kernel import count_over, pack_flat
+
     solved = [(blk, nJ, out, S) for blk, (nJ, out, S) in enumerate(pending)
               if out is not None]
-    by_width = {}
+    by_dev = {}
     for rec in solved:
-        dev_key = (id(next(iter(rec[2][0].devices())))
-                   if g_all is not None else 0)
-        by_width.setdefault((int(rec[2][0].shape[1]), dev_key),
-                            []).append(rec)
+        dev = (next(iter(rec[2][0].devices()))
+               if g_all is not None else None)
+        by_dev.setdefault(dev, []).append(rec)
 
     total_err = total_obj = 0.0
     total_niters = 0
     coord_ids, target_ids, vals = [], [], []
 
-    for (width, _dev), group in by_width.items():
-        # model compaction ON DEVICE: for wide blocks fetch only the top-M
-        # entries + counts (~2M+1 floats/col) instead of the full width-K
-        # row -- the fetch, not the solve, dominates wide-block harvests
-        # on tunneled TPU setups
-        M = min(width, HARVEST_TOPM)
-        X_all = P_all = None
-        if M < width:
-            P_all = np.asarray(jnp.concatenate(
-                [pack_topm(out[0], EPSILON, M) for _, _, out, _ in group],
-                axis=0))
-        else:
-            X_all = np.asarray(jnp.concatenate(
-                [out[0] for _, _, out, _ in group], axis=0))
+    for dev, group in by_dev.items():
+        cnts = np.asarray(jnp.concatenate(
+            [count_over(out[0], EPSILON) for _, _, out, _ in group]))
         stats_all = np.asarray(jnp.concatenate(
             [jnp.stack([out[1].astype(jnp.float32),
                         out[2].astype(jnp.float32),
                         out[3], out[4]], axis=1) for _, _, out, _ in group],
             axis=0), dtype=np.float64)
-        S_all = None
-        if group[0][3] is not None:
-            S_all = np.asarray(jnp.stack([S for _, _, _, S in group]))
 
-        for k, (blk, nJ, out, _) in enumerate(group):
-            r0 = blk * B
-            niters_h = stats_all[k * B:k * B + nJ, 0]
-            rstatus_h = stats_all[k * B:k * B + nJ, 1]
-            rnorm_h = stats_all[k * B:k * B + nJ, 2]
-            obj_h = stats_all[k * B:k * B + nJ, 3]
+        by_T = {}
+        for k, (blk, nJ, out, S_h) in enumerate(group):
+            c = cnts[k * B:(k + 1) * B].copy()
+            c[nJ:] = 0                       # padded columns contribute 0
+            off = np.zeros(B, np.int32)
+            np.cumsum(c[:-1], out=off[1:])
+            T = int(c.sum())
+            Tpad = max(1 << (max(T, 1) - 1).bit_length(), 128)
+            idx16 = int(out[0].shape[1]) <= 65536
+            off_d = jnp.asarray(off) if dev is None \
+                else jax.device_put(off, dev)
+            fv, fi = pack_flat(out[0], EPSILON, off_d, Tpad, idx16)
+            by_T.setdefault((Tpad, idx16), []).append(
+                (k, blk, nJ, S_h, c, T, fv, fi))
 
-            if P_all is not None:
-                sub = P_all[k * B:k * B + nJ]
-                cnt_h = sub[:, 2 * M]
-                if np.max(cnt_h, initial=0.0) <= M:
-                    vals_m = sub[:, :M]
-                    mask = vals_m > EPSILON
-                    rows, mcols = np.nonzero(mask)
-                    cols = sub[rows, M + mcols].astype(np.int64)
-                    xvals = vals_m[rows, mcols]
-                else:           # >M entries in some column: full fetch
-                    x_host = np.asarray(out[0])[:nJ]
-                    rows, cols = np.nonzero(x_host > EPSILON)
-                    xvals = x_host[rows, cols]
-            else:
-                x_host = X_all[k * B:k * B + nJ]
-                rows, cols = np.nonzero(np.abs(x_host) > EPSILON)
-                xvals = x_host[rows, cols]
-            if S_all is not None:
-                coords_perm = S_all[k][cols]         # compact -> permuted
-            else:
-                coords_perm = cols
-            keep = coords_perm < n
-            rows, coords_perm = rows[keep], coords_perm[keep]
-            blk_coord = p[coords_perm]               # permuted -> original
-            blk_target = p[r0 + rows]
-            blk_vals = xvals[keep].astype(np.float32)
-            blk_err = float(rnorm_h.sum())
-            blk_obj = float(obj_h.sum())
-            blk_nit = int(niters_h.sum())
+        for (Tpad, idx16), bl in by_T.items():
+            va = np.asarray(jnp.concatenate([b[6] for b in bl]))
+            ia = np.asarray(jnp.concatenate([b[7] for b in bl]))
+            for i, (k, blk, nJ, S_h, c, T, _, _) in enumerate(bl):
+                r0 = blk * B
+                niters_h = stats_all[k * B:k * B + nJ, 0]
+                rstatus_h = stats_all[k * B:k * B + nJ, 1]
+                rnorm_h = stats_all[k * B:k * B + nJ, 2]
+                obj_h = stats_all[k * B:k * B + nJ, 3]
 
-            if ckpt is not None:
-                ckpt.save(blk, blk_coord, blk_target, blk_vals,
-                          blk_err, blk_obj, blk_nit)
-            restored[blk] = (blk_coord, blk_target, blk_vals,
-                             blk_err, blk_obj, blk_nit)
+                xvals = va[i * Tpad:i * Tpad + T]
+                ix = ia[i * Tpad:i * Tpad + T].astype(np.int64)
+                rows = np.repeat(np.arange(B, dtype=np.int32), c)
+                coords_perm = S_h[ix] if S_h is not None else ix
+                keep = coords_perm < n
+                rows, coords_perm = rows[keep], coords_perm[keep]
+                blk_coord = p[coords_perm]           # permuted -> original
+                blk_target = p[r0 + rows]
+                blk_vals = xvals[keep].astype(np.float32)
+                blk_err = float(rnorm_h.sum())
+                blk_obj = float(obj_h.sum())
+                blk_nit = int(niters_h.sum())
 
-            if dbg(cfg, SLIM_DBG_PROGRESS):
-                counts = np.bincount(rows, minlength=nJ)
-                for b in range(nJ):
-                    j = p[r0 + b]
-                    logger.info(
-                        "Col: %5d %5d rs: %d nits: %4d nnz: %4d rsd: %.2e "
-                        "obj: %.2e", j, int(nnz_col[j]), int(rstatus_h[b]),
-                        int(niters_h[b]), int(counts[b]), rnorm_h[b],
-                        obj_h[b])
+                if ckpt is not None:
+                    ckpt.save(blk, blk_coord, blk_target, blk_vals,
+                              blk_err, blk_obj, blk_nit)
+                restored[blk] = (blk_coord, blk_target, blk_vals,
+                                 blk_err, blk_obj, blk_nit)
+
+                if dbg(cfg, SLIM_DBG_PROGRESS):
+                    for b in range(nJ):
+                        j = p[r0 + b]
+                        logger.info(
+                            "Col: %5d %5d rs: %d nits: %4d nnz: %4d "
+                            "rsd: %.2e obj: %.2e", j, int(nnz_col[j]),
+                            int(rstatus_h[b]), int(niters_h[b]),
+                            int(c[b]), rnorm_h[b], obj_h[b])
 
     for blk in range(nblocks):
         blk_coord, blk_target, blk_vals, blk_err, blk_obj, blk_nit = \
