@@ -1,5 +1,6 @@
-"""Benchmark: SLIM CD learn throughput (item-columns solved/sec) on the
-ml100k workload, TPU vs the native multithreaded CPU baseline.
+"""Benchmark: SLIM CD learn throughput (item-columns solved/sec) at
+ML-20M scale (138k users x 27k items x 20M nnz -- BASELINE.md configs[2]),
+TPU vs the native multithreaded CPU baseline.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -10,6 +11,17 @@ which implements the reference algorithm's exact computational shape
 estimate.c:328-558) at all available cores.  The reference itself ships no
 numbers and its GKlib submodule is not vendored (BASELINE.md), so this is
 the honest stand-in for "the 16-thread C baseline" on this machine.
+
+The ML-20M native run costs ~16 minutes, so its result is cached in
+``bench_baseline.json`` (keyed by workload signature + cpu count) and
+remeasured only when missing or when SLIM_BENCH_CPU=1 forces a rerun.
+The TPU side is always measured live.
+
+Env knobs:
+  SLIM_BENCH_SMALL=1   old ml100k workload (quick smoke, live CPU baseline)
+  SLIM_BENCH_LARGE=1   50k x 10k synthetic (mid-size, live CPU baseline)
+  SLIM_BENCH_CPU=1     force remeasuring the cached ML-20M baseline
+  SLIM_BENCH_REPS=n    timed TPU repeats (default 2)
 """
 
 import json
@@ -22,6 +34,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_TEST_DIR = "/root/reference/test"
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
 
 L1R, L2R = 1.0, 1.0
 OPT_TOL = 1e-7
@@ -29,43 +43,63 @@ MAXNITERS = 10000
 
 
 def load_workload():
-    """Default: ml100k explicit train matrix (943 x ~1682), or a synthetic
-    clone.  SLIM_BENCH_LARGE=1 switches to a 50k x 10k zipf implicit
-    matrix (2M nnz) exercising the compacted large-catalogue solver."""
     from slim_tpu.io.readers import read_matrix
     from slim_tpu.types import CSR
 
     rng = np.random.default_rng(0)
+    if os.environ.get("SLIM_BENCH_SMALL") == "1":
+        path = os.path.join(REFERENCE_TEST_DIR, "ml100k.cluto")
+        if os.path.exists(path):
+            return read_matrix(path, fmt="cluto"), "ml100k", False
+        nrows, ncols, nnz = 943, 1682, 100000
+        users = rng.integers(0, nrows, nnz)
+        items = (rng.zipf(1.3, nnz * 2) % ncols)[:nnz]
+        vals = rng.integers(1, 6, nnz).astype(np.float32)
+        return (CSR.from_ijv(users, items, vals, nrows, ncols),
+                "synthetic-ml100k", False)
     if os.environ.get("SLIM_BENCH_LARGE") == "1":
         nrows, ncols, nnz = 50000, 10000, 2_000_000
         users = rng.integers(0, nrows, nnz)
         items = (rng.zipf(1.25, nnz * 2) % ncols)[:nnz]
         mat = CSR.from_ijv(users, items, np.ones(nnz, np.float32),
                            nrows, ncols).binarize()
-        return mat, "synthetic-50kx10k"
+        return mat, "synthetic-50kx10k", False
+    from slim_tpu.datagen import synth_ml20m
 
-    path = os.path.join(REFERENCE_TEST_DIR, "ml100k.cluto")
-    if os.path.exists(path):
-        return read_matrix(path, fmt="cluto"), "ml100k"
-    nrows, ncols, nnz = 943, 1682, 100000
-    users = rng.integers(0, nrows, nnz)
-    pop = rng.zipf(1.3, nnz * 2) % ncols
-    items = pop[:nnz]
-    vals = rng.integers(1, 6, nnz).astype(np.float32)
-    return CSR.from_ijv(users, items, vals, nrows, ncols), "synthetic-ml100k"
+    cache = os.path.expanduser("~/.cache/slim_tpu_bench/ml20m.npz")
+    try:
+        z = np.load(cache)
+        mat = CSR.from_arrays(int(z["nrows"]), int(z["ncols"]),
+                              z["indptr"], z["indices"], None)
+        return mat, "ml20m-synth", True
+    except (OSError, KeyError):
+        pass
+    mat = synth_ml20m()
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, nrows=mat.nrows, ncols=mat.ncols,
+                 indptr=mat.indptr, indices=mat.indices)
+    except OSError:
+        pass
+    return mat, "ml20m-synth", True
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_tpu(train, repeats=3):
+def workload_sig(train):
+    return {"nrows": train.nrows, "ncols": train.infer_ncols().ncols,
+            "nnz": int(train.nnz), "cpus": os.cpu_count(),
+            "l1r": L1R, "l2r": L2R, "optTol": OPT_TOL}
+
+
+def bench_tpu(train, repeats):
     from slim_tpu.api import learn
     from slim_tpu.config import SlimConfig
 
     cfg = SlimConfig(l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
                      block_size=256)
-    # warmup (compile)
     t0 = time.perf_counter()
     learn(train, cfg)
     log(f"[bench] warmup learn {time.perf_counter() - t0:.1f}s")
@@ -80,10 +114,16 @@ def bench_tpu(train, repeats=3):
 
 
 def bench_predict(train, model, repeats=3):
-    from slim_tpu.predict import densify_model, predict_topn
+    """Batched top-N scoring for every training user on device.  The
+    device model is built once and held across repeats (the serving
+    pattern: one model, many request batches)."""
+    from slim_tpu.predict import (SPARSE_PREDICT_THRESHOLD, _bucket,
+                                  densify_model, predict_topn)
 
-    W = densify_model(model)
-    predict_topn(model, train, nrcmds=10, W_dev=W)  # warm
+    W = None
+    if _bucket(train.infer_ncols().ncols) <= SPARSE_PREDICT_THRESHOLD:
+        W = densify_model(model)
+    predict_topn(model, train, nrcmds=10, W_dev=W)  # warm (compile)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -92,18 +132,40 @@ def bench_predict(train, model, repeats=3):
     return train.nrows / best
 
 
-def bench_cpu(train):
+def bench_cpu(train, name, is_ml20m):
+    """Native all-core baseline; cached for the ML-20M workload."""
     from slim_tpu import native
 
     if not native.available():
-        return None, None
-    log("[bench] running native CPU baseline...")
+        return None, None, None
+    sig = workload_sig(train)
+    if is_ml20m and os.environ.get("SLIM_BENCH_CPU") != "1":
+        try:
+            with open(BASELINE_CACHE) as fh:
+                cache = json.load(fh)
+            if cache.get("sig") == sig:
+                log(f"[bench] using cached native baseline "
+                    f"({cache['cols_per_s']:.1f} cols/s, "
+                    f"measured {cache.get('date')})")
+                return cache["cols_per_s"], cache["obj"], cache
+        except (OSError, ValueError, KeyError):
+            pass
+    log("[bench] running native CPU baseline (all cores)...")
     t0 = time.perf_counter()
     model, err, obj = native.cd_learn(
         train, l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
-        nthreads=0)  # all cores
+        nthreads=0)
     dt = time.perf_counter() - t0
-    return train.infer_ncols().ncols / dt, obj
+    cols_per_s = train.infer_ncols().ncols / dt
+    rec = {"sig": sig, "cols_per_s": cols_per_s, "obj": obj,
+           "learn_s": dt, "date": time.strftime("%Y-%m-%d")}
+    if is_ml20m:
+        try:
+            with open(BASELINE_CACHE, "w") as fh:
+                json.dump(rec, fh)
+        except OSError:
+            pass
+    return cols_per_s, obj, rec
 
 
 def bench_cpu_predict(train, model, repeats=3):
@@ -127,14 +189,30 @@ def main():
 
     enable_compilation_cache()
 
-    train, name = load_workload()
+    t0 = time.perf_counter()
+    train, name, is_ml20m = load_workload()
     train = train.infer_ncols()
+    log(f"[bench] workload {name}: {train.nrows}x{train.ncols} "
+        f"nnz={train.nnz} (gen {time.perf_counter() - t0:.1f}s)")
 
-    tpu_cps, model, stats, tpu_s = bench_tpu(train)
+    reps = int(os.environ.get("SLIM_BENCH_REPS", "2"))
+    tpu_cps, model, stats, tpu_s = bench_tpu(train, reps)
     users_ps = bench_predict(train, model)
     log(f"[bench] predict {users_ps:.0f} users/sec")
-    cpu_cps, cpu_obj = bench_cpu(train)
-    cpu_ups = bench_cpu_predict(train, model)
+    cpu_cps, cpu_obj, cpu_rec = bench_cpu(train, name, is_ml20m)
+    cpu_ups = None
+    if not is_ml20m or os.environ.get("SLIM_BENCH_CPU_PREDICT") == "1":
+        cpu_ups = bench_cpu_predict(train, model)
+    elif cpu_rec is not None:
+        cpu_ups = cpu_rec.get("predict_users_per_s")
+        if cpu_ups is None:
+            cpu_ups = bench_cpu_predict(train, model, repeats=1)
+            cpu_rec["predict_users_per_s"] = cpu_ups
+            try:
+                with open(BASELINE_CACHE, "w") as fh:
+                    json.dump(cpu_rec, fh)
+            except OSError:
+                pass
     if cpu_ups:
         log(f"[bench] native CPU predict {cpu_ups:.0f} users/sec")
 
@@ -146,6 +224,8 @@ def main():
         "vs_baseline": round(vs, 3) if cpu_cps else None,
         "tpu_learn_s": round(tpu_s, 3),
         "predict_users_per_sec": round(users_ps, 1),
+        "predict_vs_baseline": (round(users_ps / cpu_ups, 3)
+                                if cpu_ups else None),
         "cpu_baseline_columns_per_sec": round(cpu_cps, 2) if cpu_cps else None,
         "cpu_predict_users_per_sec": round(cpu_ups, 1) if cpu_ups else None,
         "objective": stats.get("loss"),

@@ -1,0 +1,99 @@
+"""A/B microbench for the panelized Pallas CD sweep kernel.
+
+Times pallas_cd_sweep_large at the ML-20M block shape for the PANEL/GROUP
+configuration selected via SLIM_PALLAS_PANEL / SLIM_PALLAS_GROUP, with G
+generated ON DEVICE (no host upload).  Prints one JSON line.
+
+Usage:  SLIM_PALLAS_PANEL=4096 SLIM_PALLAS_GROUP=1024 \
+            python scripts/kernel_ab.py [npad] [B] [nsweeps]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+npad = int(sys.argv[1]) if len(sys.argv) > 1 else 28672
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+nsweeps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+from slim_tpu.ops import pallas_cd as pc
+from slim_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+ok = pc.pallas_large_supported(B, npad)
+out = {"panel": pc.PANEL, "group": pc.GROUP, "npad": npad, "B": B,
+       "supported": ok}
+if not ok:
+    print(json.dumps(out))
+    sys.exit(0)
+
+key = jax.random.PRNGKey(0)
+
+
+@jax.jit
+def make_inputs(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    G = jax.random.normal(k1, (npad, npad), jnp.float32) * 0.01
+    G = G + jnp.eye(npad, dtype=jnp.float32) * 5.0
+    gj = jax.random.normal(k2, (B, npad), jnp.float32)
+    x = jnp.zeros((B, npad), jnp.float32)
+    q = jnp.zeros((B, npad), jnp.float32)
+    return G, gj, x, q
+
+
+G, gj, x, q = jax.block_until_ready(make_inputs(key))
+# leading ~30% of coords active (post-relabel head concentration)
+act = np.zeros((B, npad), bool)
+act[:, : npad // 3] = True
+act_i8 = jnp.asarray(act.astype(np.int8))
+diag2d = jnp.full((1, npad), 5.0, jnp.float32)
+regs = jnp.stack([jnp.full((B,), 0.1, jnp.float32),
+                  jnp.full((B,), 1.0, jnp.float32),
+                  jnp.full((B,), 1e9, jnp.float32),
+                  jnp.zeros((B,), jnp.float32),
+                  jnp.full((B,), 1e-12, jnp.float32)], axis=1)
+live = jnp.ones((B, 1), jnp.float32)
+ngroups = npad // pc.GROUP
+perm = jnp.arange(ngroups, dtype=jnp.int32)
+has = jnp.ones((ngroups,), jnp.int32)
+
+t0 = time.perf_counter()
+try:
+    r = pc.pallas_cd_sweep_large(G, gj, act_i8, x, q, live, diag2d, regs,
+                                 perm, has)
+    jax.block_until_ready(r)
+except Exception as e:
+    out["error"] = str(e).splitlines()[0][:200]
+    print(json.dumps(out))
+    sys.exit(0)
+out["compile_s"] = round(time.perf_counter() - t0, 2)
+
+def run_sweeps(ns):
+    xx, qq = x, q
+    for s in range(ns):
+        xx, qq, live2, nit, dl = pc.pallas_cd_sweep_large(
+            G, gj, act_i8, xx, qq, live, diag2d, regs, perm, has)
+    # force real completion: device reduce + scalar fetch (axon's
+    # block_until_ready returns at remote enqueue, not completion)
+    return float(jnp.sum(xx)) + float(jnp.sum(qq))
+
+
+run_sweeps(1)
+t0 = time.perf_counter()
+s1 = run_sweeps(1)
+base = time.perf_counter() - t0
+t0 = time.perf_counter()
+sN = run_sweeps(nsweeps + 1)
+dt = (time.perf_counter() - t0) - base
+out["overhead_ms"] = round(base * 1000, 1)
+out["sweep_ms"] = round(dt / nsweeps * 1000, 2)
+out["gb_per_s"] = round((npad // 3 // pc.GROUP) * pc.GROUP * npad * 4
+                        / (dt / nsweeps) / 1e9, 1)
+print(json.dumps(out))

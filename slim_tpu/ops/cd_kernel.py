@@ -136,25 +136,6 @@ def block_union_masks_batched(G, j_ids_all, l1r, fslim_nnbrs=0,
     return jax.vmap(one)(j_ids_all)
 
 
-@functools.partial(jax.jit, static_argnames=("M",))
-def pack_topm(x, eps, M):
-    """Device-side model compaction for the harvest fetch.
-
-    x (B, K) is a block's nonneg solution.  Returns one packed f32 array
-    (B, 2M+1): [top-M values desc | their coords (exact in f32 for coords
-    < 2²⁴) | count of entries > eps].  The host keeps entries with value >
-    eps; if some column's count exceeds M the caller falls back to a full
-    fetch for that block.  Cuts the device->host harvest volume from K to
-    ~2M+1 floats per column (the reference keeps entries > EPSILON=1e-7,
-    slim.h:61, so models are far sparser than K).
-    """
-    vals, idx = jax.lax.top_k(x, M)
-    cnt = jnp.sum(x > eps, axis=1, dtype=jnp.int32)
-    return jnp.concatenate(
-        [vals, idx.astype(jnp.float32), cnt[:, None].astype(jnp.float32)],
-        axis=1)
-
-
 @jax.jit
 def count_over(x, eps):
     """Per-column model nnz: count of entries > eps (reference keeps

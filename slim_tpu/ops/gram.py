@@ -277,6 +277,9 @@ def compute_gram(mat: CSR, mode: str = "auto", pad_to: int | None = None):
     t_host = sparse_ops / 4e7 + float(n) * n * 4 / bw
     t_dev = (dense_flops / 2e13 + mat.nnz * 6.0 / bw
              + mat.nnz / 2e8)                       # scatter term
-    if t_host < t_dev or mat.nrows * float(n) * n > 4e13:
+    # device path requires G (npad² f32) to fit HBM alongside the solver
+    # workspace; above that the host SpGEMM + upload is the only option
+    dense_g_ok = float(n) * n * 4 < 8e9
+    if not dense_g_ok or t_host < t_dev:
         return jnp.asarray(gram_host(mat, pad_to=n))
     return gram_device_csr(mat, pad_to=n)

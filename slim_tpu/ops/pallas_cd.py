@@ -301,8 +301,13 @@ def pallas_solve_core(G, gj, diag, active, x0, col_maxniters, yty,
 # --------------------------------------------------------------------- #
 # panelized variant for large coordinate spaces
 # --------------------------------------------------------------------- #
-PANEL = 1024   # q-propagation panel width (HBM stream granularity)
-GROUP = 512    # coordinates per supergroup (one grid step)
+# q-propagation panel width (HBM stream granularity) and coordinates per
+# supergroup (one grid step).  Env-tunable for A/B kernel benchmarking;
+# defaults picked by measurement on v5e at the ML-20M shape.
+import os as _os
+
+PANEL = int(_os.environ.get("SLIM_PALLAS_PANEL", "1024"))
+GROUP = int(_os.environ.get("SLIM_PALLAS_GROUP", "512"))
 
 
 def _sweep_kernel_large(ngroups: int, npanels: int, B: int, npad: int,
@@ -557,15 +562,18 @@ def pallas_large_supported(B: int, npad: int) -> bool:
     double-buffered panels live in VMEM (x/q stay in HBM -- the round-1
     aliased formulation forced them into VMEM; the separate-output
     rewrite removed that cap)."""
-    vmem = (3 * B * GROUP * 4                      # x/q/dx group tiles
-            + 2 * GROUP * PANEL * 4                # G panels (dbuf)
-            + 2 * B * PANEL * 4                    # q panels (dbuf)
-            + 2 * GROUP * GROUP * 4                # Ggg (pipeline dbuf)
-            + 2 * (2 * B * GROUP * 4 + B * GROUP + GROUP * 4))  # gj/act/diag
-    # generous 3x headroom for Mosaic's scoped temporaries against the
-    # raised 100MB budget (see pallas_cd_sweep_large)
+    scratch = (3 * B * GROUP * 4                   # x/q/dx group tiles
+               + 2 * GROUP * PANEL * 4             # G panels (dbuf)
+               + 2 * B * PANEL * 4)                # q panels (dbuf)
+    pipe = 2 * (GROUP * GROUP * 4                  # Ggg (pipeline dbuf)
+                + B * GROUP * 4 + B * GROUP + GROUP * 4)  # gj/act/diag
+    temps = 4 * B * GROUP * 4    # unrolled-GS temporaries headroom
+    # scratch shapes are exact allocations -- only the pipeline operands
+    # and loop temporaries need headroom against the raised 100MB budget
+    # (see pallas_cd_sweep_large)
     return (npad % PANEL == 0 and npad % GROUP == 0 and B % 32 == 0
-            and B <= 256 and 3 * vmem < 100 * 1024 * 1024)
+            and B <= 256
+            and scratch + 2 * (pipe + temps) < 88 * 1024 * 1024)
 
 
 def pallas_large_max_block(npad: int, cap: int = 256) -> int:

@@ -523,13 +523,14 @@ def make_sharded_predict(mesh: Mesh, nrcmds: int):
     score + top-k (predict.c semantics, see slim_tpu.predict)."""
 
     def score(w, hidx, hval):
+        # dense-history scatter + MXU matmul: no (U, H, npad) gather
+        # intermediate (one power user's H would size the whole block)
+        from ..predict import _hist_dense
+
         npad = w.shape[0]
-        safe = jnp.where(hidx >= 0, hidx, npad - 1)
-        rows = w[safe]
-        scores = jnp.einsum("uh,uhn->un", hval, rows)
-        u = hidx.shape[0]
-        mask = jnp.zeros((u, npad), bool).at[
-            jnp.arange(u)[:, None], safe].max(hidx >= 0)
+        hd, mask = _hist_dense(npad, hidx, hval)
+        scores = jnp.dot(hd, w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         scores = jnp.where(mask, -jnp.inf, scores)
         ncand = jnp.sum(scores > 0, axis=1)
         top_sc, top_id = jax.lax.top_k(scores, nrcmds)

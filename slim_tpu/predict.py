@@ -89,20 +89,164 @@ def _score_topn_block(W, hist_idx, hist_val, nrcmds):
 
 
 def densify_model(model: CSR, npad: int | None = None):
-    """Dense device copy of the model, padded with a zero row/col."""
+    """Dense device copy of the model, padded with a zero row/col.
+
+    Above ~4k items the host densify + n²·4-byte upload loses badly to
+    :func:`densify_model_device` on tunnelled setups; kept for small
+    models and as the fallback when the device scatter path is
+    unavailable."""
     import jax.numpy as jnp
 
     n = max(model.nrows, model.ncols)
     npad = npad if npad is not None else _bucket(n)
+    if npad > 4096:
+        return densify_model_device(model, npad)
     W = np.zeros((npad, npad), dtype=np.float32)
     rows = np.repeat(np.arange(model.nrows), model.row_nnz().astype(np.int64))
     W[rows, model.indices] = model.values()
     return jnp.asarray(W)
 
 
-# above this many items the dense (npad, npad) W is wasteful/impossible
-# (2M items would need 16TB); switch to the padded-sparse scoring path
-SPARSE_PREDICT_THRESHOLD = 16384
+_densify_fns: dict = {}
+
+
+def densify_model_device(model: CSR, npad: int):
+    """Dense device W built by on-device scatter from a slim CSR upload
+    (uint16 indices + f32 values + int32 indptr = ~6 bytes/nnz instead of
+    npad²·4): row ids are recovered with a device searchsorted over the
+    indptr, then one scatter populates W.  For a 34M-nnz ML-20M-class
+    model this moves ~200MB instead of 3.3GB through the host tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    nnz = max(int(model.nnz), 1)
+    key = (npad, nnz, model.nrows)
+    fn = _densify_fns.get(key)
+    if fn is None:
+        @jax.jit
+        def densify(idx, val, indptr):
+            e = jnp.arange(nnz, dtype=jnp.int32)
+            rows = jnp.searchsorted(indptr, e, side="right") \
+                .astype(jnp.int32) - 1
+            return jnp.zeros((npad, npad), jnp.float32).at[
+                rows, idx.astype(jnp.int32)].add(val, mode="drop",
+                                                 unique_indices=True)
+
+        fn = _densify_fns[key] = densify
+    idx = model.indices.astype(np.uint16 if npad <= 65536 else np.int32)
+    return fn(jnp.asarray(idx), jnp.asarray(model.values()),
+              jnp.asarray(model.indptr.astype(np.int32)))
+
+
+# above this many items the dense (npad, npad) device W (npad²·4 bytes:
+# 3.3GB at 28672) stops fitting comfortably next to the score blocks in
+# 16GB HBM; switch to the padded-sparse scoring path
+SPARSE_PREDICT_THRESHOLD = 36864
+
+# scoring-matmul precision: HIGHEST (exact f32, 6 bf16 passes on TPU) for
+# small catalogues where compute is negligible; DEFAULT (bf16 inputs, f32
+# accumulate -- 6x the MXU rate) above this npad, where the scores only
+# feed a rank-10 cutoff and per-product relative error ~2^-8 does not move
+# HR measurably (PARITY.md).  Overridable via predict_topn(precision=...).
+_BF16_SCORE_NPAD = 8192
+
+
+def _score_precision(npad, precision):
+    import jax
+
+    if precision is not None:
+        return precision
+    return (jax.lax.Precision.HIGHEST if npad <= _BF16_SCORE_NPAD
+            else jax.lax.Precision.DEFAULT)
+
+
+_predict_scan_fns: dict = {}
+
+
+def _get_predict_scan(npad, ub, nblocks, P, nrcmds, nnz, n, prec):
+    """One-dispatch dense predict: a jitted scan over user blocks.
+
+    The whole history matrix ships ONCE as flat CSR (indices + optional
+    values + indptr, ~6 bytes/nnz); each scan step rebuilds one user
+    block's dense history rows on device (gather + searchsorted row
+    recovery, same trick as ops/gram._get_gram_csr), scores them against
+    the resident dense W on the MXU, and emits the packed top-N.  One
+    device->host fetch returns every user's result, so the host round
+    trips do not scale with the user count (predict.c:40-66 does one
+    scalar pass per user instead)."""
+    key = (npad, ub, nblocks, P, nrcmds, nnz, n, str(prec))
+    fn = _predict_scan_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(W, idx, val, indptr, starts):
+            has_val = val.shape[0] == nnz
+
+            def body(_, k):
+                s = starts[k]
+                e = s + jnp.arange(P, dtype=jnp.int32)
+                valid = e < starts[k + 1]
+                esafe = jnp.minimum(e, nnz - 1)
+                c = jnp.take(idx, esafe).astype(jnp.int32)
+                u = jnp.searchsorted(indptr, esafe, side="right") \
+                    .astype(jnp.int32) - 1
+                l = jnp.where(valid, u - k * ub, ub)     # OOB pad -> drop
+                cin = valid & (c < n)                    # predict.c:35 guard
+                l = jnp.where(cin, l, ub)
+                v = jnp.where(cin, jnp.take(val, esafe), 0.0) if has_val \
+                    else cin.astype(jnp.float32)
+                hd = jnp.zeros((ub, npad), jnp.float32).at[l, c].add(
+                    v, mode="drop", unique_indices=True)
+                mask = jnp.zeros((ub, npad), bool).at[l, c].max(
+                    cin, mode="drop", unique_indices=True)
+                scores = jnp.dot(hd, W, preferred_element_type=jnp.float32,
+                                 precision=prec)
+                scores = jnp.where(mask, NEG_INF, scores)
+                ncand = jnp.sum(scores > 0, axis=1)
+                top_sc, top_id = jax.lax.top_k(scores, nrcmds)
+                counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
+                ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
+                out = jnp.concatenate(
+                    [jnp.where(ok, top_id, -1).astype(jnp.float32),
+                     jnp.where(ok, top_sc, 0.0),
+                     counts.astype(jnp.float32)[:, None]], axis=1)
+                return None, out
+
+            _, outs = jax.lax.scan(body, None,
+                                   jnp.arange(nblocks, dtype=jnp.int32))
+            return outs.reshape(nblocks * ub, 2 * nrcmds + 1)
+
+        fn = _predict_scan_fns[key] = run
+    return fn
+
+
+def _predict_topn_scan(model, hist, nrcmds, user_block, W, n, npad, prec):
+    """Dense-W predict over all users in one device dispatch (see
+    :func:`_get_predict_scan`)."""
+    import jax.numpy as jnp
+
+    nusers = hist.nrows
+    nblocks = max((nusers + user_block - 1) // user_block, 1)
+    starts = hist.indptr[np.minimum(
+        np.arange(nblocks + 1, dtype=np.int64) * user_block,
+        nusers)].astype(np.int32)
+    P = _pow2ceil(max(int(np.diff(starts).max()) if nblocks else 1, 1))
+    nnz = max(int(hist.nnz), 1)
+    idx = hist.indices if hist.nnz else np.zeros(1, np.int32)
+    val = (np.zeros(0, np.float32) if hist.data is None
+           else hist.values().astype(np.float32))
+    fn = _get_predict_scan(npad, user_block, nblocks, P, nrcmds, nnz, n,
+                           prec)
+    packed = fn(W, jnp.asarray(idx), jnp.asarray(val),
+                jnp.asarray(hist.indptr.astype(np.int32)),
+                jnp.asarray(starts))
+    all_host = np.asarray(packed)[:nusers]
+    ids = all_host[:, :nrcmds].astype(np.int32)
+    scores = all_host[:, nrcmds:2 * nrcmds].astype(np.float32)
+    counts = all_host[:, 2 * nrcmds].astype(np.int32)
+    return ids, scores, counts
 
 
 def sparsify_model_device(model: CSR, npad: int | None = None):
@@ -162,14 +306,16 @@ def _score_topn_block_sparse(Widx, Wval, hist_idx, hist_val, nrcmds):
 
 
 def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
-                 user_block: int = 1024, W_dev=None, sparse: bool | None = None):
+                 user_block: int = 1024, W_dev=None, sparse: bool | None = None,
+                 precision=None, scan: bool | None = None):
     """Batch top-N for every user row of ``hist``.
 
     Returns (ids (nusers, nrcmds) int32 with -1 padding,
              scores (nusers, nrcmds) f32,
              counts (nusers,) int32).
     Mirrors Py_SLIM_Predict (pyapi.c:530-563) which loops SLIM_GetTopN over
-    all rows.
+    all rows.  Large dense-W jobs take the one-dispatch scan path
+    (:func:`_get_predict_scan`); ``scan`` forces it on/off.
     """
     import jax.numpy as jnp
 
@@ -177,6 +323,11 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     npad = _bucket(n)
     if sparse is None:
         sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+    if not sparse and (scan or (scan is None
+                                and hist.nrows > 4 * user_block)):
+        W = W_dev if W_dev is not None else densify_model(model, npad)
+        return _predict_topn_scan(model, hist, nrcmds, user_block, W, n,
+                                  npad, _score_precision(npad, precision))
     if sparse:
         Wsp = sparsify_model_device(model, npad)
         # per-user dense score rows are the only O(n) object: size the

@@ -25,15 +25,13 @@ from ..config import (SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS,
                       SLIM_DBG_TIME, dbg)
 from ..ops.cd_kernel import (block_union_flags, block_union_mask,
                              block_union_masks_batched,
-                             cd_solve_block_compact, cd_solve_block_ids,
-                             pack_topm)
+                             cd_solve_block_compact, cd_solve_block_ids)
 from ..ops.gram import compute_gram
 from ..types import CSR
 
 logger = logging.getLogger("slim_tpu")
 
 EPSILON = 1e-7  # model nonzero threshold (reference def.h:14)
-HARVEST_TOPM = 1024  # top-M device-side compaction cap for wide harvests
 
 
 def bucket_npad(n: int) -> int:

@@ -69,6 +69,8 @@ class CSR:
         G[i,j] = Σ a_i a_j a different weight than the reference's
         per-entry scatter loops.
         """
+        import scipy.sparse as sp
+
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals, dtype=np.float32)
@@ -76,22 +78,23 @@ class CSR:
             nrows = int(rows.max()) + 1 if rows.size else 0
         if ncols is None:
             ncols = int(cols.max()) + 1 if cols.size else 0
-        if rows.size:
-            keys = rows * np.int64(max(ncols, 1)) + cols
-            uniq, inv = np.unique(keys, return_inverse=True)
-            if len(uniq) != len(keys):  # duplicates: sum values
-                summed = np.zeros(len(uniq), dtype=np.float64)
-                np.add.at(summed, inv, vals.astype(np.float64))
-                vals = summed.astype(np.float32)
-                rows = (uniq // max(ncols, 1)).astype(np.int64)
-                cols = (uniq % max(ncols, 1)).astype(np.int64)
-            else:
-                order = np.lexsort((cols, rows))
-                rows, cols, vals = rows[order], cols[order], vals[order]
-        counts = np.bincount(rows, minlength=nrows).astype(np.int64)
-        indptr = np.zeros(nrows + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        return CSR.from_arrays(nrows, ncols, indptr, cols.astype(np.int32), vals)
+        if rows.size == 0:
+            return CSR.empty(nrows, ncols)
+        # scipy's C coo->csr counting sort is ~10x numpy sort-based builds
+        # at the 34M-triplet scale of an ML-20M model harvest; duplicates
+        # are summed in f64 so the Gram and scatter solver paths agree.
+        # shape sized by the actual max indices (callers may declare a
+        # smaller ncols and call infer_ncols() later); the declared dims
+        # are kept on the returned CSR
+        shape = (max(nrows, int(rows.max()) + 1),
+                 max(ncols, int(cols.max()) + 1))
+        m = sp.coo_matrix((vals.astype(np.float64), (rows, cols)),
+                          shape=shape).tocsr()
+        m.sum_duplicates()
+        m.sort_indices()
+        return CSR.from_arrays(nrows, ncols, m.indptr.astype(np.int64),
+                               m.indices.astype(np.int32),
+                               m.data.astype(np.float32))
 
     @staticmethod
     def empty(nrows: int, ncols: int) -> "CSR":
@@ -153,16 +156,20 @@ class CSR:
         row indices come out sorted ascending.
         """
         if self._csc is None:
-            indptr = np.zeros(self.ncols + 1, dtype=np.int64)
-            counts = np.bincount(self.indices, minlength=self.ncols)
-            np.cumsum(counts, out=indptr[1:])
-            # stable counting sort by column => row indices sorted per column
-            order = np.argsort(self.indices, kind="stable")
-            rows = np.repeat(
-                np.arange(self.nrows, dtype=np.int32), self.row_nnz().astype(np.int64))
-            tind = rows[order]
-            tdat = None if self.data is None else self.data[order]
-            self._csc = CSR.from_arrays(self.ncols, self.nrows, indptr, tind, tdat)
+            import scipy.sparse as sp
+
+            # scipy's C csr->csc counting sort (O(nnz), canonical row
+            # order within columns) -- ~5x the numpy stable-argsort build
+            # at ML-20M nnz counts
+            dat = self.data if self.data is not None \
+                else np.empty(self.nnz, np.float32)
+            m = sp.csr_matrix((dat, self.indices, self.indptr),
+                              shape=(self.nrows, self.ncols)).tocsc()
+            tdat = None if self.data is None \
+                else m.data.astype(np.float32, copy=False)
+            self._csc = CSR.from_arrays(self.ncols, self.nrows,
+                                        m.indptr.astype(np.int64),
+                                        m.indices.astype(np.int32), tdat)
             self._csc._csc = self  # transpose of transpose
         return self._csc
 

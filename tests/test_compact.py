@@ -51,19 +51,30 @@ def test_compact_fslim_matches_full(rng):
     np.testing.assert_allclose(sc["loss"], sf["loss"], rtol=1e-4)
 
 
-def test_packed_harvest_matches_full(rng, monkeypatch):
-    """Device-side top-M harvest compaction must reproduce the plain
-    full-row fetch exactly (including the >M-entries-per-column fallback,
-    exercised with an absurdly small cap)."""
-    import slim_tpu.solvers.cd as cdmod
+def test_pack_flat_exact(rng):
+    """The exact-size flat harvest pack must enumerate precisely the
+    entries > eps, grouped by column at the host-computed offsets, in
+    ascending coordinate order -- for both index dtypes."""
+    import jax.numpy as jnp
 
-    mat = random_csr(rng, 80, 60, density=0.3, seed=160)
-    cfg = SlimConfig(l1r=0.05, l2r=0.2, optTol=1e-10, block_size=16,
-                     shuffle=False, compact_threshold=10**9)
-    ref, sr = estimate_model_cd(mat, cfg)
-    for cap in (8, 2):  # 8: packed path; 2: forces the fallback fetch
-        monkeypatch.setattr(cdmod, "HARVEST_TOPM", cap)
-        got, sg = estimate_model_cd(mat, cfg)
-        np.testing.assert_array_equal(got.to_scipy().toarray(),
-                                      ref.to_scipy().toarray())
-        assert sg["loss"] == sr["loss"]
+    from slim_tpu.ops.cd_kernel import count_over, pack_flat
+
+    eps = 1e-7
+    x = rng.random((13, 96)).astype(np.float32)
+    x[x < 0.6] = 0.0
+    x[3] = 0.0                       # empty column
+    cnt = np.asarray(count_over(jnp.asarray(x), eps))
+    np.testing.assert_array_equal(cnt, (x > eps).sum(axis=1))
+    off = np.zeros(13, np.int32)
+    np.cumsum(cnt[:-1], out=off[1:])
+    T = int(cnt.sum())
+    for idx16 in (True, False):
+        Tpad = 1 << (T - 1).bit_length()
+        fv, fi = pack_flat(jnp.asarray(x), eps, jnp.asarray(off),
+                           Tpad, idx16)
+        fv, fi = np.asarray(fv)[:T], np.asarray(fi)[:T].astype(np.int64)
+        for b in range(13):
+            cols = np.nonzero(x[b] > eps)[0]
+            s = int(off[b])
+            np.testing.assert_array_equal(fi[s:s + len(cols)], cols)
+            np.testing.assert_array_equal(fv[s:s + len(cols)], x[b, cols])

@@ -147,3 +147,24 @@ def test_predict_1vsk_sparse_matches_dense(rng):
                                rtol=1e-5, atol=1e-6)
     for u in range(25):
         assert set(di[u]) == set(si[u]), u
+
+
+def test_predict_scan_matches_block(rng):
+    """The one-dispatch scan path must reproduce the per-block dense path
+    (same kernel math, different orchestration), for explicit and implicit
+    histories and for a user count that is not a block multiple."""
+    model = random_csr(rng, 60, 60, density=0.2, seed=230)
+    for implicit, seed in ((False, 231), (True, 232)):
+        hist = random_csr(rng, 53, 60, density=0.2, implicit=implicit,
+                          seed=seed)
+        bi, bsc, bc = predict_topn(model, hist, nrcmds=7, sparse=False,
+                                   scan=False)
+        si, ssc, sc = predict_topn(model, hist, nrcmds=7, sparse=False,
+                                   scan=True, user_block=16)
+        np.testing.assert_array_equal(bc, sc)
+        for u in range(hist.nrows):
+            k = bc[u]
+            assert set(bi[u][:k]) == set(si[u][:k]), u
+            np.testing.assert_allclose(np.sort(bsc[u][:k]),
+                                       np.sort(ssc[u][:k]),
+                                       rtol=1e-5, atol=1e-6)
