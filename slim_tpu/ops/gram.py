@@ -174,18 +174,28 @@ _gram_csr_fns: dict = {}
 
 
 def _get_gram_csr(rb: int, npad: int, P: int, nrb: int, ones: bool,
-                  nnz: int, nrows: int):
+                  nnz: int, nrows: int, bf16_exact: bool = False):
     """Jitted CSR-to-Gram kernel: ships only the CSR column indices
     (uint16 when the catalogue fits, i.e. 2 bytes/nnz) and expands the
     per-row-block padded triplets ON DEVICE by gather + searchsorted --
     the 12-byte/nnz padded host triplets of the older path cost 10x the
     tunnel bytes.  Values are implicit 1.0 for binary matrices (``ones``)
-    and shipped f32 otherwise."""
-    key = (rb, npad, P, nrb, ones, nnz, nrows)
+    and shipped f32 otherwise.
+
+    ``bf16_exact``: every value round-trips through bf16 exactly (always
+    true for binary data; true for integer ratings <= 256, the common
+    case).  Then a single-pass bf16 MXU matmul (DEFAULT precision) is
+    numerically identical to HIGHEST -- products of exact-bf16 inputs are
+    exact in the f32 accumulator -- at ~6x the MXU rate (HIGHEST runs 6
+    bf16 passes per f32 matmul on TPU)."""
+    key = (rb, npad, P, nrb, ones, nnz, nrows, bf16_exact)
     fn = _gram_csr_fns.get(key)
     if fn is None:
         import jax
         import jax.numpy as jnp
+
+        prec = (jax.lax.Precision.DEFAULT if bf16_exact
+                else jax.lax.Precision.HIGHEST)
 
         @jax.jit
         def gram_csr(idx, val, starts, indptr):
@@ -204,9 +214,11 @@ def _get_gram_csr(rb: int, npad: int, P: int, nrb: int, ones: bool,
                     v = jnp.where(valid, jnp.take(val, esafe), 0.0)
                 blk = jnp.zeros((rb, npad), jnp.float32)
                 blk = blk.at[l, c].add(v, unique_indices=True, mode="drop")
+                if bf16_exact:
+                    blk = blk.astype(jnp.bfloat16)
                 return g + jnp.dot(
                     blk.T, blk, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST), None
+                    precision=prec), None
 
             g0 = jnp.zeros((npad, npad), jnp.float32)
             g, _ = jax.lax.scan(body, g0, jnp.arange(nrb, dtype=jnp.int32))
@@ -214,6 +226,21 @@ def _get_gram_csr(rb: int, npad: int, P: int, nrb: int, ones: bool,
 
         fn = _gram_csr_fns[key] = gram_csr
     return fn
+
+
+def _values_bf16_exact(vals: np.ndarray) -> bool:
+    """True when every value survives an f32->bf16->f32 round trip, so a
+    single bf16 MXU pass reproduces the HIGHEST-precision Gram exactly."""
+    if vals.size == 0:
+        return True
+    try:
+        import ml_dtypes
+
+        rt = vals.astype(ml_dtypes.bfloat16).astype(np.float32)
+    except ImportError:
+        # bf16 = f32 with the bottom 16 mantissa bits dropped
+        rt = (vals.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    return bool(np.array_equal(rt, vals))
 
 
 def gram_device_csr(mat: CSR, pad_to: int | None = None,
@@ -241,7 +268,8 @@ def gram_device_csr(mat: CSR, pad_to: int | None = None,
     val_d = jnp.zeros((1,), jnp.float32) if ones \
         else jnp.asarray(vals.astype(np.float32))
     fn = _get_gram_csr(row_block, n, P, nrb, ones, max(int(mat.nnz), 1),
-                       mat.nrows)
+                       mat.nrows,
+                       bf16_exact=ones or _values_bf16_exact(vals))
     return fn(jnp.asarray(idx), val_d, jnp.asarray(starts),
               jnp.asarray(mat.indptr.astype(np.int32)))
 

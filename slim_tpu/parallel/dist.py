@@ -509,7 +509,7 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
         np.concatenate(target_ids) if target_ids else np.zeros(0, np.int32),
         np.concatenate(out_vals) if out_vals else np.zeros(0, np.float32),
-        nrows=n, ncols=n)
+        nrows=n, ncols=n, no_duplicates=True)
     stats = {"loss": total_obj, "fit": total_err, "nnz": model.nnz,
              "niters": total_niters, "ndevices": ndev, "mode": "blockwise"}
     return model, stats

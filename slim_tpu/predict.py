@@ -120,12 +120,17 @@ def densify_model_device(model: CSR, npad: int):
     import jax.numpy as jnp
 
     nnz = max(int(model.nnz), 1)
-    key = (npad, nnz, model.nrows)
+    # pow2-bucket the nnz axis so models of similar size share one
+    # compiled program (a raw-nnz key would recompile -- minutes on
+    # remote-compile setups -- for every new model); padded entries
+    # carry column id npad and are dropped by the OOB scatter mode
+    T = _pow2ceil(nnz)
+    key = (npad, T, model.nrows)
     fn = _densify_fns.get(key)
     if fn is None:
         @jax.jit
         def densify(idx, val, indptr):
-            e = jnp.arange(nnz, dtype=jnp.int32)
+            e = jnp.arange(T, dtype=jnp.int32)
             rows = jnp.searchsorted(indptr, e, side="right") \
                 .astype(jnp.int32) - 1
             return jnp.zeros((npad, npad), jnp.float32).at[
@@ -133,8 +138,12 @@ def densify_model_device(model: CSR, npad: int):
                                                  unique_indices=True)
 
         fn = _densify_fns[key] = densify
-    idx = model.indices.astype(np.uint16 if npad <= 65536 else np.int32)
-    return fn(jnp.asarray(idx), jnp.asarray(model.values()),
+    dt = np.uint16 if npad < 65536 else np.int32
+    idx = np.full(T, npad, dtype=dt)
+    idx[:nnz] = model.indices[:nnz] if model.nnz else 0
+    val = np.zeros(T, np.float32)
+    val[:model.nnz] = model.values()
+    return fn(jnp.asarray(idx), jnp.asarray(val),
               jnp.asarray(model.indptr.astype(np.int32)))
 
 
@@ -182,7 +191,7 @@ def _get_predict_scan(npad, ub, nblocks, P, nrcmds, nnz, n, prec):
 
         @jax.jit
         def run(W, idx, val, indptr, starts):
-            has_val = val.shape[0] == nnz
+            has_val = val.shape[0] == idx.shape[0]
 
             def body(_, k):
                 s = starts[k]
@@ -233,11 +242,19 @@ def _predict_topn_scan(model, hist, nrcmds, user_block, W, n, npad, prec):
         np.arange(nblocks + 1, dtype=np.int64) * user_block,
         nusers)].astype(np.int32)
     P = _pow2ceil(max(int(np.diff(starts).max()) if nblocks else 1, 1))
-    nnz = max(int(hist.nnz), 1)
-    idx = hist.indices if hist.nnz else np.zeros(1, np.int32)
-    val = (np.zeros(0, np.float32) if hist.data is None
-           else hist.values().astype(np.float32))
-    fn = _get_predict_scan(npad, user_block, nblocks, P, nrcmds, nnz, n,
+    # pow2-bucket the flat-CSR length so same-dataset-class jobs share
+    # one compiled program regardless of the exact nnz (pad indices carry
+    # item id n -> masked by the c < n guard in the kernel)
+    T = _pow2ceil(max(int(hist.nnz), 1))
+    idx = np.full(T, n, np.int32)
+    if hist.nnz:
+        idx[:hist.nnz] = hist.indices
+    if hist.data is None:
+        val = np.zeros(0, np.float32)
+    else:
+        val = np.zeros(T, np.float32)
+        val[:hist.nnz] = hist.values()
+    fn = _get_predict_scan(npad, user_block, nblocks, P, nrcmds, T, n,
                            prec)
     packed = fn(W, jnp.asarray(idx), jnp.asarray(val),
                 jnp.asarray(hist.indptr.astype(np.int32)),

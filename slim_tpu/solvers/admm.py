@@ -146,7 +146,7 @@ def estimate_model_admm(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     rows, cols = np.nonzero(W_host > 0.0)
     vals = W_host[rows, cols].astype(np.float32)
     model = CSR.from_ijv(rows.astype(np.int32), cols.astype(np.int32), vals,
-                         nrows=n, ncols=n)
+                         nrows=n, ncols=n, no_duplicates=True)
     err = float(err)
     obj = float(obj)
     stats = {"loss": obj, "fit": err,

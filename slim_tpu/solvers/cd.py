@@ -148,7 +148,7 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
         Xp = X_all[rows_lo:rows_lo + n, :n]  # rank-major solutions
         rr, cc = np.nonzero(np.abs(Xp) > EPSILON)
         model = CSR.from_ijv(p[cc], p[rr], Xp[rr, cc].astype(np.float32),
-                             nrows=n, ncols=n)
+                             nrows=n, ncols=n, no_duplicates=True)
         err = float(st_all[rows_lo:rows_lo + n, 0].sum())
         obj = float(st_all[rows_lo:rows_lo + n, 1].sum())
         results.append((model, {
@@ -671,7 +671,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
         np.concatenate(target_ids) if target_ids else np.zeros(0, np.int32),
         np.concatenate(vals) if vals else np.zeros(0, np.float32),
-        nrows=n, ncols=n)
+        nrows=n, ncols=n, no_duplicates=True)
 
     stats = {
         "loss": total_obj,

@@ -61,23 +61,30 @@ class CSR:
         return CSR.from_arrays(m.shape[0], m.shape[1], m.indptr, m.indices, m.data)
 
     @staticmethod
-    def from_ijv(rows, cols, vals, nrows=None, ncols=None) -> "CSR":
+    def from_ijv(rows, cols, vals, nrows=None, ncols=None,
+                 no_duplicates: bool = False) -> "CSR":
         """Build from COO triplets (duplicates summed, like scipy).
 
         Summing keeps the Gram-based solvers consistent with the
         scatter-based ones: duplicated (row, col) entries otherwise give
         G[i,j] = Σ a_i a_j a different weight than the reference's
-        per-entry scatter loops.
+        per-entry scatter loops.  ``no_duplicates=True`` (a caller
+        guarantee, e.g. the model harvest where every (coord, target)
+        appears exactly once) skips the f64 up-convert and the
+        sum_duplicates pass -- roughly 4x faster at the 34M-triplet
+        scale of an ML-20M model assembly.
         """
         import scipy.sparse as sp
 
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
-        vals = np.asarray(vals, dtype=np.float32)
+        rows = np.ascontiguousarray(rows)
+        cols = np.ascontiguousarray(cols)
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
+        rmax = int(rows.max()) + 1 if rows.size else 0
+        cmax = int(cols.max()) + 1 if cols.size else 0
         if nrows is None:
-            nrows = int(rows.max()) + 1 if rows.size else 0
+            nrows = rmax
         if ncols is None:
-            ncols = int(cols.max()) + 1 if cols.size else 0
+            ncols = cmax
         if rows.size == 0:
             return CSR.empty(nrows, ncols)
         # scipy's C coo->csr counting sort is ~10x numpy sort-based builds
@@ -85,16 +92,20 @@ class CSR:
         # are summed in f64 so the Gram and scatter solver paths agree.
         # shape sized by the actual max indices (callers may declare a
         # smaller ncols and call infer_ncols() later); the declared dims
-        # are kept on the returned CSR
-        shape = (max(nrows, int(rows.max()) + 1),
-                 max(ncols, int(cols.max()) + 1))
-        m = sp.coo_matrix((vals.astype(np.float64), (rows, cols)),
-                          shape=shape).tocsr()
-        m.sum_duplicates()
+        # are kept on the returned CSR.  int32 indices throughout: the
+        # int64 asarray conversions alone cost more than the C kernels.
+        shape = (max(nrows, rmax), max(ncols, cmax))
+        data = vals if no_duplicates else vals.astype(np.float64)
+        m = sp.coo_matrix(
+            (data, (rows.astype(np.int32, copy=False),
+                    cols.astype(np.int32, copy=False))),
+            shape=shape, copy=False).tocsr()
+        if not no_duplicates:
+            m.sum_duplicates()
         m.sort_indices()
         return CSR.from_arrays(nrows, ncols, m.indptr.astype(np.int64),
-                               m.indices.astype(np.int32),
-                               m.data.astype(np.float32))
+                               m.indices.astype(np.int32, copy=False),
+                               m.data.astype(np.float32, copy=False))
 
     @staticmethod
     def empty(nrows: int, ncols: int) -> "CSR":
