@@ -27,9 +27,12 @@ from slim_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
-ok = pc.pallas_large_supported(B, npad)
+V3 = os.environ.get("SLIM_AB_V3") == "1"
+sweep = pc.pallas_cd_sweep_large_v3 if V3 else pc.pallas_cd_sweep_large
+ok = (pc.pallas_large_v3_supported(B, npad) if V3
+      else pc.pallas_large_supported(B, npad))
 out = {"panel": pc.PANEL, "group": pc.GROUP, "npad": npad, "B": B,
-       "supported": ok}
+       "v3": V3, "kflush": pc.K_FLUSH if V3 else None, "supported": ok}
 if not ok:
     print(json.dumps(out))
     sys.exit(0)
@@ -66,8 +69,7 @@ has = jnp.ones((ngroups,), jnp.int32)
 
 t0 = time.perf_counter()
 try:
-    r = pc.pallas_cd_sweep_large(G, gj, act_i8, x, q, live, diag2d, regs,
-                                 perm, has)
+    r = sweep(G, gj, act_i8, x, q, live, diag2d, regs, perm, has)
     jax.block_until_ready(r)
 except Exception as e:
     out["error"] = str(e).splitlines()[0][:200]
@@ -78,7 +80,7 @@ out["compile_s"] = round(time.perf_counter() - t0, 2)
 def run_sweeps(ns):
     xx, qq = x, q
     for s in range(ns):
-        xx, qq, live2, nit, dl = pc.pallas_cd_sweep_large(
+        xx, qq, live2, nit, dl = sweep(
             G, gj, act_i8, xx, qq, live, diag2d, regs, perm, has)
     # force real completion: device reduce + scalar fetch (axon's
     # block_until_ready returns at remote enqueue, not completion)

@@ -557,6 +557,314 @@ def pallas_cd_sweep_large(G, gj, act_i8, x, q, live_f32, diag2d, regs,
     return xo, qo, lo, nit, dl
 
 
+# --------------------------------------------------------------------- #
+# deferred-flush panelized variant (v3)
+# --------------------------------------------------------------------- #
+# Number of consecutive supergroups whose deltas are held in VMEM before
+# one combined q-panel flush.  The flush's q read-modify-write is the
+# traffic term that does NOT amortize with block size, so deferring it
+# divides that term by K_FLUSH at the cost of small (GROUP, GROUP)
+# correction matmuls when a later group in the window starts its GS.
+K_FLUSH = int(_os.environ.get("SLIM_PALLAS_KFLUSH", "4"))
+
+
+def _sweep_kernel_large_v3(ngroups: int, npanels: int, B: int, npad: int,
+                           K: int,
+                           # scalar-prefetch refs
+                           perm_ref, has_ref,
+                           # pipelined per-group blocks
+                           ggg_ref, gj_ref, act_ref, diag_ref,
+                           # HBM operands
+                           g_hbm, x_in_hbm, q_in_hbm,
+                           # small VMEM inputs
+                           live_in_ref, regs_ref,
+                           # outputs
+                           x_hbm, q_hbm, live_ref, nit_ref, dltx_ref,
+                           # scratch
+                           xg_scr, qg_scr, dxk_scr, gcor_scr, gpan_scr,
+                           qpan_scr, sems):
+    """One full GS sweep, HBM-resident x/q, q-flush deferred over K
+    groups.
+
+    Window invariant: q_hbm is exact w.r.t. all groups *before* the
+    current K-group window; the window's own deltas live in
+    ``dxk_scr[0..K)``.  A group's local q tile is corrected on load by
+    ``Σ_k dx_k · G[win_k, win_g]`` over the already-solved window slots
+    (exact f32 -- same terms as the eager propagation, reassociated), and
+    every K-th group performs one combined panel flush
+    ``q[:, p] += Σ_k dx_k · G[win_k, p]``, so the q read-modify-write
+    traffic is divided by K while G-panel bytes stay identical.
+
+    Requires ``ngroups % K == 0`` (every flush statically covers K
+    slots; dispatch pads npad so this holds).
+    """
+    g = pl.program_id(0)
+    l1 = regs_ref[:, 0:1]
+    l2 = regs_ref[:, 1:2]
+    cap = regs_ref[:, 2:3]
+    t0 = regs_ref[:, 3:4]
+    opt_tol = regs_ref[:, 4:5]
+    slot_in_win = jax.lax.rem(g, K)          # traced; matched statically
+    g0 = g - slot_in_win                     # first group of the window
+
+    @pl.when(g == 0)
+    def _():
+        live_ref[...] = live_in_ref[...]
+        dltx_ref[...] = jnp.zeros((B, 1), F32)
+        nit_ref[...] = live_in_ref[...]
+        cp_x = pltpu.make_async_copy(x_in_hbm, x_hbm, sems.at[0])
+        cp_q = pltpu.make_async_copy(q_in_hbm, q_hbm, sems.at[1])
+        cp_x.start()
+        cp_q.start()
+        cp_x.wait()
+        cp_q.wait()
+
+    base = pl.multiple_of(perm_ref[g] * GROUP, GROUP)
+
+    def win_base(k):
+        # window slot k -> its group's coordinate offset
+        return pl.multiple_of(perm_ref[g0 + k] * GROUP, GROUP)
+
+    @pl.when(has_ref[g] != 0)
+    def _():
+        live = live_ref[...]
+        okf = act_ref[...].astype(F32) * live
+        gjloc = gj_ref[...]
+        dloc = diag_ref[...]
+        ggg = ggg_ref[...]
+
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(base, GROUP)], xg_scr, sems.at[0])
+        cp_q = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(base, GROUP)], qg_scr, sems.at[1])
+        cp_x.start()
+        cp_q.start()
+        cp_x.wait()
+        cp_q.wait()
+
+        # window correction: fold the pending slots' deltas into the
+        # local q tile (q_hbm is stale w.r.t. them until the flush)
+        for k in range(K - 1):
+            @pl.when(k < slot_in_win)
+            def _(k=k):
+                cp = pltpu.make_async_copy(
+                    g_hbm.at[pl.ds(win_base(k), GROUP),
+                             pl.ds(base, GROUP)],
+                    gcor_scr.at[k % 2], sems.at[6 + k % 2])
+                cp.start()
+                cp.wait()
+                qg_scr[...] += jnp.dot(dxk_scr[k], gcor_scr[k % 2],
+                                       preferred_element_type=F32)
+
+        for sub in range(GROUP // CHUNK):
+            o = sub * CHUNK
+            xloc = xg_scr[:, pl.ds(o, CHUNK)]
+            ql = qg_scr[:, pl.ds(o, CHUNK)]
+            gcc = ggg[o:o + CHUNK, o:o + CHUNK]
+            deltas = []
+            for ci in range(CHUNK):
+                gcol = gjloc[:, o + ci:o + ci + 1]
+                qcol = ql[:, ci:ci + 1]
+                xcol = xloc[:, ci:ci + 1]
+                ok = okf[:, o + ci:o + ci + 1]
+                di = dloc[0, o + ci]
+                num = gcol - qcol + di * xcol
+                cand = jnp.maximum(num - l1, 0.0) / (di + l2)
+                delta = ok * (cand - xcol)
+                ql = ql + delta * gcc[ci:ci + 1, :]
+                deltas.append(delta)
+            dx = jnp.concatenate(deltas, axis=1)
+            for k in range(K):
+                @pl.when(slot_in_win == k)
+                def _(k=k):
+                    dxk_scr[k, :, pl.ds(o, CHUNK)] = dx
+            xg_scr[:, pl.ds(o, CHUNK)] = xloc + dx
+            qg_scr[...] += jnp.dot(dx, ggg[o:o + CHUNK, :],
+                                   preferred_element_type=F32)
+
+        cp_xo = pltpu.make_async_copy(
+            xg_scr, x_hbm.at[:, pl.ds(base, GROUP)], sems.at[0])
+        cp_xo.start()
+        for k in range(K):
+            @pl.when(slot_in_win == k)
+            def _(k=k):
+                dxg = dxk_scr[k][...]
+                dltx_ref[...] += jnp.sum(dxg * dxg, axis=1, keepdims=True)
+        cp_xo.wait()
+
+    @pl.when(has_ref[g] == 0)
+    def _():
+        # skipped group: its window slot must contribute zero
+        for k in range(K):
+            @pl.when(slot_in_win == k)
+            def _(k=k):
+                dxk_scr[k, :, :] = jnp.zeros((B, GROUP), F32)
+
+    @pl.when(slot_in_win == K - 1)
+    def _():
+        # combined flush: q[:, p] += Σ_k dx_k · G[win_k, p] for every
+        # panel p.  G blocks rotate through 2 slots by k parity (K even);
+        # q panels rotate by panel parity with synchronous stores.
+        def start_g(pb, k, slot):
+            off = pl.multiple_of(pb * PANEL, PANEL)
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(win_base(k), GROUP), pl.ds(off, PANEL)],
+                gpan_scr.at[slot], sems.at[2 + slot]).start()
+
+        def wait_g(slot):
+            pltpu.make_async_copy(
+                gpan_scr.at[slot], gpan_scr.at[slot],
+                sems.at[2 + slot]).wait()
+
+        def start_q(pb, slot):
+            off = pl.multiple_of(pb * PANEL, PANEL)
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(off, PANEL)],
+                qpan_scr.at[slot], sems.at[4 + slot]).start()
+
+        def do_panel(pb, qslot):
+            off = pl.multiple_of(pb * PANEL, PANEL)
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(off, PANEL)],
+                qpan_scr.at[qslot], sems.at[4 + qslot]).wait()
+            for k in range(K):
+                wait_g(k % 2)
+                if k + 1 < K:
+                    start_g(pb, k + 1, (k + 1) % 2)
+                else:
+                    @pl.when(pb + 1 < npanels)
+                    def _():
+                        start_g(pb + 1, 0, (k + 1) % 2)
+                qpan_scr[qslot] += jnp.dot(dxk_scr[k], gpan_scr[k % 2],
+                                           preferred_element_type=F32)
+            cp_out = pltpu.make_async_copy(
+                qpan_scr.at[qslot], q_hbm.at[:, pl.ds(off, PANEL)],
+                sems.at[4 + qslot])
+            cp_out.start()
+            cp_out.wait()
+
+        start_q(0, 0)
+        start_g(0, 0, 0)
+
+        def pan_body(pb, _):
+            @pl.when(pb + 1 < npanels)
+            def _():
+                @pl.when(jax.lax.rem(pb, 2) == 0)
+                def _():
+                    start_q(pb + 1, 1)
+
+                @pl.when(jax.lax.rem(pb, 2) == 1)
+                def _():
+                    start_q(pb + 1, 0)
+
+            @pl.when(jax.lax.rem(pb, 2) == 0)
+            def _():
+                do_panel(pb, 0)
+
+            @pl.when(jax.lax.rem(pb, 2) == 1)
+            def _():
+                do_panel(pb, 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, npanels, pan_body, 0)
+
+    @pl.when(g == ngroups - 1)
+    def _():
+        dl = dltx_ref[...]
+        sweeps_done = t0 + 1.0
+        keep = jnp.where(dl < opt_tol, 0.0, 1.0) \
+            * jnp.where(sweeps_done < cap, 1.0, 0.0)
+        live_ref[...] = live_ref[...] * keep
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_cd_sweep_large_v3(G, gj, act_i8, x, q, live_f32, diag2d, regs,
+                             groupperm, hasgroup, interpret=False):
+    """Deferred-flush variant of :func:`pallas_cd_sweep_large` (same
+    contract).  Requires (npad/GROUP) % K_FLUSH == 0."""
+    B, npad = gj.shape
+    ngroups = npad // GROUP
+    npanels = npad // PANEL
+    K = K_FLUSH
+    assert ngroups % K == 0
+    kernel = functools.partial(_sweep_kernel_large_v3, ngroups, npanels,
+                               B, npad, K)
+
+    def group_cols(g, perm, has):
+        return (0, perm[g])
+
+    def ggg_map(g, perm, has):
+        return (perm[g], perm[g])
+
+    def whole(g, perm, has):
+        return (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec((GROUP, GROUP), ggg_map),
+            pl.BlockSpec((B, GROUP), group_cols),
+            pl.BlockSpec((B, GROUP), group_cols),
+            pl.BlockSpec((1, GROUP), group_cols),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((B, 1), whole),
+            pl.BlockSpec((B, 5), whole),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((B, 1), whole),
+            pl.BlockSpec((B, 1), whole),
+            pl.BlockSpec((B, 1), whole),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, GROUP), F32),              # x group tile
+            pltpu.VMEM((B, GROUP), F32),              # q group tile
+            pltpu.VMEM((K, B, GROUP), F32),           # window deltas
+            pltpu.VMEM((2, GROUP, GROUP), F32),       # correction G blocks
+            pltpu.VMEM((2, GROUP, PANEL), F32),       # flush G panels
+            pltpu.VMEM((2, B, PANEL), F32),           # flush q panels
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    xo, qo, lo, nit, dl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, npad), F32),
+            jax.ShapeDtypeStruct((B, npad), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+            jax.ShapeDtypeStruct((B, 1), F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(groupperm, hasgroup, G, gj, act_i8, diag2d, G, x, q, live_f32, regs)
+    return xo, qo, lo, nit, dl
+
+
+def pallas_large_v3_supported(B: int, npad: int) -> bool:
+    """Viable domain of the deferred-flush kernel."""
+    K = K_FLUSH
+    scratch = ((2 + K) * B * GROUP * 4            # x/q tiles + K deltas
+               + 2 * GROUP * GROUP * 4            # correction blocks
+               + 2 * GROUP * PANEL * 4            # G panels (dbuf)
+               + 2 * B * PANEL * 4)               # q panels (dbuf)
+    pipe = 2 * (GROUP * GROUP * 4
+                + B * GROUP * 4 + B * GROUP + GROUP * 4)
+    temps = 4 * B * GROUP * 4
+    maxb = int(_os.environ.get("SLIM_PALLAS_MAXB", "512"))
+    ngroups = npad // GROUP if npad % GROUP == 0 else 0
+    return (npad % PANEL == 0 and npad % GROUP == 0 and B % 32 == 0
+            and B <= maxb and K % 2 == 0 and ngroups % K == 0
+            and scratch + 2 * (pipe + temps) < 88 * 1024 * 1024)
+
+
 def pallas_large_supported(B: int, npad: int) -> bool:
     """Viable domain of the panelized kernel: only group tiles and the
     double-buffered panels live in VMEM (x/q stay in HBM -- the round-1
@@ -571,15 +879,24 @@ def pallas_large_supported(B: int, npad: int) -> bool:
     # scratch shapes are exact allocations -- only the pipeline operands
     # and loop temporaries need headroom against the raised 100MB budget
     # (see pallas_cd_sweep_large)
+    maxb = int(_os.environ.get("SLIM_PALLAS_MAXB", "256"))
     return (npad % PANEL == 0 and npad % GROUP == 0 and B % 32 == 0
-            and B <= 256
+            and B <= maxb
             and scratch + 2 * (pipe + temps) < 88 * 1024 * 1024)
 
 
 def pallas_large_max_block(npad: int, cap: int = 256) -> int:
-    """Largest B the panelized kernel supports for this npad (0 = none)."""
+    """Largest B either panelized kernel supports for this npad (0 =
+    none); the solve core auto-selects v3 when its domain admits the
+    shape."""
+    v3_ok = _os.environ.get("SLIM_PALLAS_V3", "1") != "0"
+
+    def ok(b):
+        return ((v3_ok and pallas_large_v3_supported(b, npad))
+                or pallas_large_supported(b, npad))
+
     b = max((cap // 32) * 32, 32)
-    while b >= 32 and not pallas_large_supported(b, npad):
+    while b >= 32 and not ok(b):
         b -= 32
     return b if b >= 32 else 0
 
@@ -589,13 +906,21 @@ Q_REFRESH = 8  # sweeps between exact q = Gx recomputes (drift guard)
 
 def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
                             l1r, l2r, optTol, seed, shuffle=True,
-                            interpret=False):
+                            interpret=False, use_v3=None):
     """Block solve on the panelized kernel (HBM-resident x/q): JAX while
     over sweeps, per-column convergence in-kernel.  q is carried between
     launches (the kernel maintains it exactly via f32 MXU propagation)
-    and recomputed from scratch every Q_REFRESH sweeps to bound drift."""
+    and recomputed from scratch every Q_REFRESH sweeps to bound drift.
+
+    ``use_v3`` selects the deferred-flush kernel (q RMW traffic divided
+    by K_FLUSH); default: auto (v3 whenever its capacity/divisibility
+    domain admits the shape, unless SLIM_PALLAS_V3=0)."""
     B, npad = gj.shape
     ngroups = npad // GROUP
+    if use_v3 is None:
+        use_v3 = (_os.environ.get("SLIM_PALLAS_V3", "1") != "0"
+                  and pallas_large_v3_supported(B, npad))
+    sweep_fn = pallas_cd_sweep_large_v3 if use_v3 else pallas_cd_sweep_large
     act_i8 = active.astype(jnp.int8)
     act_f = active.astype(F32)
     diag2d = diag.reshape(1, npad).astype(F32)
@@ -631,7 +956,7 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
             [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
              jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=1)
         q = jax.lax.cond(t % Q_REFRESH == 0, exact_q, lambda _x: q, x)
-        xn, qn, liven, nit_d, dl = pallas_cd_sweep_large(
+        xn, qn, liven, nit_d, dl = sweep_fn(
             G, gj, act_i8, x, q, live, diag2d, regs, perm, has,
             interpret=interpret)
         died = (live[:, 0] > 0) & (liven[:, 0] == 0)
