@@ -27,10 +27,11 @@ print(f"workload {name} {train.nrows}x{train.ncols} nnz={train.nnz} "
       f"gen {time.perf_counter()-t0:.1f}s", flush=True)
 
 cfg = SlimConfig(l1r=1.0, l2r=1.0, optTol=1e-7, maxniters=10000,
-                 block_size=256, dbglvl=SLIM_DBG_TIME | SLIM_DBG_INFO)
+                 block_size=512, dbglvl=SLIM_DBG_TIME | SLIM_DBG_INFO)
 for r in range(reps):
     t0 = time.perf_counter()
     model, stats = learn(train, cfg)
     dt = time.perf_counter() - t0
     print(f"rep{r}: {dt:.1f}s  {train.ncols/dt:.1f} cols/s  "
-          f"loss {stats['loss']:.6e} nnz {stats['nnz']}", flush=True)
+          f"loss {stats['loss']:.6e} nnz {stats['nnz']} "
+          f"niters {stats['niters']}", flush=True)

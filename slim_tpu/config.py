@@ -62,7 +62,7 @@ class SlimConfig:
     seed: int = 0               # base PRNG seed for CD coordinate shuffling
 
     # --- TPU execution knobs (new; no reference counterpart) ---
-    block_size: int = 256       # item columns solved per device batch
+    block_size: int = 512       # item columns solved per device batch
     solver_dtype: str = "float32"
     gram: str = "auto"          # "auto" | "device" | "host"
     kernel: str = "auto"        # "auto" | "pallas" | "xla"

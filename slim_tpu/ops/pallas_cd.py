@@ -700,7 +700,15 @@ def _sweep_kernel_large_v3(ngroups: int, npanels: int, B: int, npad: int,
             def _(k=k):
                 dxk_scr[k, :, :] = jnp.zeros((B, GROUP), F32)
 
-    @pl.when(slot_in_win == K - 1)
+    # flush only when the window did any work: as columns converge the
+    # per-sweep group activity collapses, and an unconditional flush
+    # would keep paying the full G-panel + q-RMW traffic on straggler
+    # sweeps (the dominant cost at large B)
+    win_any = jnp.zeros((), jnp.int32)
+    for k in range(K):
+        win_any = win_any + has_ref[g0 + k]
+
+    @pl.when((slot_in_win == K - 1) & (win_any != 0))
     def _():
         # combined flush: q[:, p] += Σ_k dx_k · G[win_k, p] for every
         # panel p.  G blocks rotate through 2 slots by k parity (K even);
@@ -951,6 +959,13 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
             perm = jnp.arange(ngroups, dtype=jnp.int32)
         group_any = (jnp.sum(act_f * live, axis=0)
                      .reshape(ngroups, GROUP).sum(axis=1) > 0)
+        if use_v3:
+            # cluster active groups at the front (stable, preserving the
+            # shuffled relative order) so the deferred-flush windows are
+            # either fully active or skipped entirely -- otherwise a lone
+            # straggler group drags a whole window's panel flush
+            inactive = (~jnp.take(group_any, perm)).astype(jnp.int32)
+            perm = jnp.take(perm, jnp.argsort(inactive, stable=True))
         has = jnp.take(group_any, perm).astype(jnp.int32)
         regs = jnp.stack(
             [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),

@@ -397,8 +397,11 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         # with B) and amortise the per-block gathers and sweeps.  Blocks
         # whose union is too wide for one Pallas launch are split into
         # sub-batches at dispatch (dispatch_split below), so B can stay
-        # MXU-friendly for the compact tail blocks.
-        B = min(B, 256)
+        # MXU-friendly for the compact tail blocks.  On TPU the panelized
+        # kernel's G-panel stream amortizes over the block: B=512
+        # measured 0.0525 ms/col/sweep vs 0.0837 at B=256 (kernel A/B at
+        # the ML-20M shape).
+        B = min(B, 512 if on_tpu else 256)
 
     def pick_impl(width, b):
         """Kernel for a given coordinate width: whole-array Pallas when it
