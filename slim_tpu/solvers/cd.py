@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import (SlimConfig, SLIM_DBG_INFO, SLIM_DBG_PROGRESS,
                       SLIM_DBG_TIME, dbg)
+from ..ops import exec_cache
 from ..ops.cd_kernel import (block_union_flags, block_union_mask,
                              block_union_masks_batched,
                              cd_solve_block_compact, cd_solve_block_ids)
@@ -32,6 +33,25 @@ from ..types import CSR
 logger = logging.getLogger("slim_tpu")
 
 EPSILON = 1e-7  # model nonzero threshold (reference def.h:14)
+
+
+def _solve_ids(args, statics):
+    """cd_solve_block_ids through the persistent executable cache when a
+    Pallas kernel is selected (Mosaic recompiles per process; XLA programs
+    already hit the persistent XLA cache on the plain jit path)."""
+    if statics.get("impl") in ("pallas", "pallas_large"):
+        return exec_cache.call(cd_solve_block_ids, "cd_solve_block_ids",
+                               args, statics)
+    return cd_solve_block_ids(*args, **statics)
+
+
+def _solve_compact(args, statics):
+    """cd_solve_block_compact, exec-cached for Pallas impls (see
+    :func:`_solve_ids`)."""
+    if statics.get("impl") in ("pallas", "pallas_large"):
+        return exec_cache.call(cd_solve_block_compact,
+                               "cd_solve_block_compact", args, statics)
+    return cd_solve_block_compact(*args, **statics)
 
 
 def bucket_npad(n: int) -> int:
@@ -128,11 +148,12 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
         l1b[:nv] = l1s[pts]
         l2b[:nv] = l2s[pts]
         def run(im, Jpad=Jpad, caps=caps, l1b=l1b, l2b=l2b, v0=v0):
-            return cd_solve_block_ids(
-                g_dev, jnp.asarray(Jpad), jnp.asarray(caps), zeros_x0, n,
-                jnp.asarray(l1b), jnp.asarray(l2b), float(cfg.optTol),
-                int(cfg.seed) + v0, shuffle=cfg.shuffle,
-                fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype, impl=im)
+            return _solve_ids(
+                (g_dev, jnp.asarray(Jpad), jnp.asarray(caps), zeros_x0, n,
+                 jnp.asarray(l1b), jnp.asarray(l2b), float(cfg.optTol),
+                 int(cfg.seed) + v0),
+                dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
+                     simtype=cfg.simtype, impl=im))
 
         out = _dispatch_with_fallback(run, impl, (B, npad))
         pending.append((nv, out))
@@ -548,25 +569,26 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
             def solve_cols(im, i, b, S=S, Jpad=Jpad, caps=caps, x0s=x0s,
                            blk=blk, g_blk=g_blk):
-                return cd_solve_block_compact(
-                    g_blk, S, jnp.asarray(Jpad[i:i + b]),
-                    jnp.asarray(caps[i:i + b]), x0s[i:i + b],
-                    float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                    int(cfg.seed) + blk, shuffle=cfg.shuffle, impl=im,
-                    fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype)
+                return _solve_compact(
+                    (g_blk, S, jnp.asarray(Jpad[i:i + b]),
+                     jnp.asarray(caps[i:i + b]), x0s[i:i + b],
+                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                     int(cfg.seed) + blk),
+                    dict(shuffle=cfg.shuffle, impl=im,
+                         fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype))
 
             out = dispatch_split(solve_cols, K)
             pending.append((nJ, out, union_S_host[blk]))
         else:
             def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
                            g_blk=g_blk):
-                return cd_solve_block_ids(
-                    g_blk, jnp.asarray(Jpad[i:i + b]),
-                    jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
-                    float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                    int(cfg.seed) + blk, shuffle=cfg.shuffle,
-                    fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype,
-                    impl=im)
+                return _solve_ids(
+                    (g_blk, jnp.asarray(Jpad[i:i + b]),
+                     jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
+                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                     int(cfg.seed) + blk),
+                    dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
+                         simtype=cfg.simtype, impl=im))
 
             out = dispatch_split(solve_cols, npad)
             pending.append((nJ, out, None))
