@@ -873,6 +873,304 @@ def pallas_large_v3_supported(B: int, npad: int) -> bool:
             and scratch + 2 * (pipe + temps) < 88 * 1024 * 1024)
 
 
+# --------------------------------------------------------------------- #
+# transposed deferred-flush variant (v4)
+# --------------------------------------------------------------------- #
+# Same schedule as v3 (deferred q-panel flush over K_FLUSH groups), but
+# every array is laid out coordinate-major: x/q/gj/act are (npad, B)
+# instead of (B, npad).  The unrolled GS inner loop's per-coordinate
+# scalar ops become (1, B) row slices -- B contiguous lanes -- instead of
+# (B, 1) column slices that occupy one lane of B/8 sublane-tiles, cutting
+# the VPU op count of the 6-op soft-threshold chain by ~16x at B=512.
+# The rank-1 in-chunk propagation and all MXU matmuls move the same
+# bytes/FLOPs (G is symmetric, so transposed panels are just different
+# slices of the same G).
+
+
+def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
+                           K: int,
+                           # scalar-prefetch refs
+                           perm_ref, has_ref,
+                           # pipelined per-group blocks
+                           ggg_ref,    # (GROUP, GROUP) diagonal block of G
+                           gj_ref,     # (GROUP, B) target-Gram group (T)
+                           act_ref,    # (GROUP, B) int8 active group (T)
+                           diag_ref,   # (1, GROUP) Gram diagonal group
+                           # HBM operands
+                           g_hbm, x_in_hbm, q_in_hbm,   # x/q: (npad, B)
+                           # small VMEM inputs
+                           live_in_ref,                 # (1, B)
+                           regs_ref,                    # (5, B)
+                           # outputs
+                           x_hbm, q_hbm, live_ref, nit_ref, dltx_ref,
+                           # scratch
+                           xg_scr, qg_scr, dxk_scr, gcor_scr, gpan_scr,
+                           qpan_scr, sems):
+    """Transposed :func:`_sweep_kernel_large_v3` (same math, same window
+    invariant).  All equations use G's symmetry: a v3 product
+    ``dx (B,GROUP) . G[win, p] (GROUP, PANEL)`` becomes
+    ``G[p, win] (PANEL, GROUP) . dx (GROUP, B)`` on the same bytes."""
+    g = pl.program_id(0)
+    l1 = regs_ref[0:1, :]
+    l2 = regs_ref[1:2, :]
+    cap = regs_ref[2:3, :]
+    t0 = regs_ref[3:4, :]
+    opt_tol = regs_ref[4:5, :]
+    slot_in_win = jax.lax.rem(g, K)
+    g0 = g - slot_in_win
+
+    @pl.when(g == 0)
+    def _():
+        live_ref[...] = live_in_ref[...]
+        dltx_ref[...] = jnp.zeros((1, B), F32)
+        nit_ref[...] = live_in_ref[...]
+        cp_x = pltpu.make_async_copy(x_in_hbm, x_hbm, sems.at[0])
+        cp_q = pltpu.make_async_copy(q_in_hbm, q_hbm, sems.at[1])
+        cp_x.start()
+        cp_q.start()
+        cp_x.wait()
+        cp_q.wait()
+
+    base = pl.multiple_of(perm_ref[g] * GROUP, GROUP)
+
+    def win_base(k):
+        return pl.multiple_of(perm_ref[g0 + k] * GROUP, GROUP)
+
+    @pl.when(has_ref[g] != 0)
+    def _():
+        live = live_ref[...]                          # (1, B)
+        okf = act_ref[...].astype(F32) * live         # (GROUP, B)
+        gjloc = gj_ref[...]                           # (GROUP, B)
+        dloc = diag_ref[...]                          # (1, GROUP)
+        ggg = ggg_ref[...]                            # (GROUP, GROUP)
+
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, GROUP), :], xg_scr, sems.at[0])
+        cp_q = pltpu.make_async_copy(
+            q_hbm.at[pl.ds(base, GROUP), :], qg_scr, sems.at[1])
+        cp_x.start()
+        cp_q.start()
+        cp_x.wait()
+        cp_q.wait()
+
+        # window correction: q_local[j,:] += sum_k G[j, win_k] . dx_k
+        for k in range(K - 1):
+            @pl.when(k < slot_in_win)
+            def _(k=k):
+                cp = pltpu.make_async_copy(
+                    g_hbm.at[pl.ds(base, GROUP),
+                             pl.ds(win_base(k), GROUP)],
+                    gcor_scr.at[k % 2], sems.at[6 + k % 2])
+                cp.start()
+                cp.wait()
+                qg_scr[...] += jnp.dot(gcor_scr[k % 2], dxk_scr[k],
+                                       preferred_element_type=F32)
+
+        for sub in range(GROUP // CHUNK):
+            o = sub * CHUNK
+            xloc = xg_scr[pl.ds(o, CHUNK), :]         # (CHUNK, B) value
+            ql = qg_scr[pl.ds(o, CHUNK), :]
+            gcc = ggg[o:o + CHUNK, o:o + CHUNK]
+            deltas = []
+            for ci in range(CHUNK):
+                gcol = gjloc[o + ci:o + ci + 1, :]    # (1, B) row slices
+                qcol = ql[ci:ci + 1, :]
+                xcol = xloc[ci:ci + 1, :]
+                ok = okf[o + ci:o + ci + 1, :]
+                di = dloc[0, o + ci]
+                num = gcol - qcol + di * xcol
+                cand = jnp.maximum(num - l1, 0.0) / (di + l2)
+                delta = ok * (cand - xcol)
+                # gcc column == row transposed (diagonal block symmetric)
+                ql = ql + gcc[:, ci:ci + 1] * delta   # (CHUNK,1)*(1,B)
+                deltas.append(delta)
+            dx = jnp.concatenate(deltas, axis=0)      # (CHUNK, B)
+            for k in range(K):
+                @pl.when(slot_in_win == k)
+                def _(k=k):
+                    dxk_scr[k, pl.ds(o, CHUNK), :] = dx
+            xg_scr[pl.ds(o, CHUNK), :] = xloc + dx
+            qg_scr[...] += jnp.dot(ggg[:, o:o + CHUNK], dx,
+                                   preferred_element_type=F32)
+
+        cp_xo = pltpu.make_async_copy(
+            xg_scr, x_hbm.at[pl.ds(base, GROUP), :], sems.at[0])
+        cp_xo.start()
+        for k in range(K):
+            @pl.when(slot_in_win == k)
+            def _(k=k):
+                dxg = dxk_scr[k][...]
+                dltx_ref[...] += jnp.sum(dxg * dxg, axis=0, keepdims=True)
+        cp_xo.wait()
+
+    @pl.when(has_ref[g] == 0)
+    def _():
+        for k in range(K):
+            @pl.when(slot_in_win == k)
+            def _(k=k):
+                dxk_scr[k, :, :] = jnp.zeros((GROUP, B), F32)
+
+    win_any = jnp.zeros((), jnp.int32)
+    for k in range(K):
+        win_any = win_any + has_ref[g0 + k]
+
+    @pl.when((slot_in_win == K - 1) & (win_any != 0))
+    def _():
+        # combined flush: q[p, :] += sum_k G[p, win_k] . dx_k
+        def start_g(pb, k, slot):
+            off = pl.multiple_of(pb * PANEL, PANEL)
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(off, PANEL), pl.ds(win_base(k), GROUP)],
+                gpan_scr.at[slot], sems.at[2 + slot]).start()
+
+        def wait_g(slot):
+            pltpu.make_async_copy(
+                gpan_scr.at[slot], gpan_scr.at[slot],
+                sems.at[2 + slot]).wait()
+
+        def start_q(pb, slot):
+            off = pl.multiple_of(pb * PANEL, PANEL)
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(off, PANEL), :],
+                qpan_scr.at[slot], sems.at[4 + slot]).start()
+
+        def do_panel(pb, qslot):
+            off = pl.multiple_of(pb * PANEL, PANEL)
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(off, PANEL), :],
+                qpan_scr.at[qslot], sems.at[4 + qslot]).wait()
+            for k in range(K):
+                wait_g(k % 2)
+                if k + 1 < K:
+                    start_g(pb, k + 1, (k + 1) % 2)
+                else:
+                    @pl.when(pb + 1 < npanels)
+                    def _():
+                        start_g(pb + 1, 0, (k + 1) % 2)
+                qpan_scr[qslot] += jnp.dot(gpan_scr[k % 2], dxk_scr[k],
+                                           preferred_element_type=F32)
+            cp_out = pltpu.make_async_copy(
+                qpan_scr.at[qslot], q_hbm.at[pl.ds(off, PANEL), :],
+                sems.at[4 + qslot])
+            cp_out.start()
+            cp_out.wait()
+
+        start_q(0, 0)
+        start_g(0, 0, 0)
+
+        def pan_body(pb, _):
+            @pl.when(pb + 1 < npanels)
+            def _():
+                @pl.when(jax.lax.rem(pb, 2) == 0)
+                def _():
+                    start_q(pb + 1, 1)
+
+                @pl.when(jax.lax.rem(pb, 2) == 1)
+                def _():
+                    start_q(pb + 1, 0)
+
+            @pl.when(jax.lax.rem(pb, 2) == 0)
+            def _():
+                do_panel(pb, 0)
+
+            @pl.when(jax.lax.rem(pb, 2) == 1)
+            def _():
+                do_panel(pb, 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, npanels, pan_body, 0)
+
+    @pl.when(g == ngroups - 1)
+    def _():
+        dl = dltx_ref[...]
+        sweeps_done = t0 + 1.0
+        keep = jnp.where(dl < opt_tol, 0.0, 1.0) \
+            * jnp.where(sweeps_done < cap, 1.0, 0.0)
+        live_ref[...] = live_ref[...] * keep
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
+                             regsT, groupperm, hasgroup, interpret=False):
+    """Transposed deferred-flush sweep: gjT/actT/xT/qT are (npad, B),
+    live/nit/dltx are (1, B), regsT is (5, B).  Same window contract as
+    :func:`pallas_cd_sweep_large_v3`."""
+    npad, B = gjT.shape
+    ngroups = npad // GROUP
+    npanels = npad // PANEL
+    K = K_FLUSH
+    assert ngroups % K == 0
+    kernel = functools.partial(_sweep_kernel_large_v4, ngroups, npanels,
+                               B, npad, K)
+
+    def group_rows(g, perm, has):
+        return (perm[g], 0)
+
+    def diag_cols(g, perm, has):
+        return (0, perm[g])
+
+    def ggg_map(g, perm, has):
+        return (perm[g], perm[g])
+
+    def whole(g, perm, has):
+        return (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec((GROUP, GROUP), ggg_map),
+            pl.BlockSpec((GROUP, B), group_rows),
+            pl.BlockSpec((GROUP, B), group_rows),
+            pl.BlockSpec((1, GROUP), diag_cols),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, B), whole),
+            pl.BlockSpec((5, B), whole),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, B), whole),
+            pl.BlockSpec((1, B), whole),
+            pl.BlockSpec((1, B), whole),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, B), F32),              # x group tile
+            pltpu.VMEM((GROUP, B), F32),              # q group tile
+            pltpu.VMEM((K, GROUP, B), F32),           # window deltas
+            pltpu.VMEM((2, GROUP, GROUP), F32),       # correction G blocks
+            pltpu.VMEM((2, PANEL, GROUP), F32),       # flush G panels
+            pltpu.VMEM((2, PANEL, B), F32),           # flush q panels
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    xo, qo, lo, nit, dl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, B), F32),
+            jax.ShapeDtypeStruct((npad, B), F32),
+            jax.ShapeDtypeStruct((1, B), F32),
+            jax.ShapeDtypeStruct((1, B), F32),
+            jax.ShapeDtypeStruct((1, B), F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(groupperm, hasgroup, G, gjT, actT_i8, diag2d, G, xT, qT, live_1B,
+      regsT)
+    return xo, qo, lo, nit, dl
+
+
+def pallas_large_v4_supported(B: int, npad: int) -> bool:
+    """Viable domain of the transposed deferred-flush kernel (same VMEM
+    budget as v3: every scratch tile is the v3 tile transposed)."""
+    return pallas_large_v3_supported(B, npad)
+
+
 def pallas_large_supported(B: int, npad: int) -> bool:
     """Viable domain of the panelized kernel: only group tiles and the
     double-buffered panels live in VMEM (x/q stay in HBM -- the round-1
@@ -914,7 +1212,7 @@ Q_REFRESH = 8  # sweeps between exact q = Gx recomputes (drift guard)
 
 def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
                             l1r, l2r, optTol, seed, shuffle=True,
-                            interpret=False, use_v3=None):
+                            interpret=False, use_v3=None, use_v4=None):
     """Block solve on the panelized kernel (HBM-resident x/q): JAX while
     over sweeps, per-column convergence in-kernel.  q is carried between
     launches (the kernel maintains it exactly via f32 MXU propagation)
@@ -922,9 +1220,22 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
 
     ``use_v3`` selects the deferred-flush kernel (q RMW traffic divided
     by K_FLUSH); default: auto (v3 whenever its capacity/divisibility
-    domain admits the shape, unless SLIM_PALLAS_V3=0)."""
+    domain admits the shape, unless SLIM_PALLAS_V3=0).  ``use_v4``
+    selects the transposed deferred-flush kernel (coordinate-major
+    layout: the GS inner loop runs on (1, B) lane-contiguous rows);
+    default: auto (v4 whenever its domain admits the shape, unless
+    SLIM_PALLAS_V4=0)."""
     B, npad = gj.shape
     ngroups = npad // GROUP
+    if use_v4 is None:
+        # auto only when the caller didn't pin a variant explicitly
+        use_v4 = (use_v3 is None
+                  and _os.environ.get("SLIM_PALLAS_V4", "1") != "0"
+                  and pallas_large_v4_supported(B, npad))
+    if use_v4:
+        return _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters,
+                                    yty, l1r, l2r, optTol, seed,
+                                    shuffle=shuffle, interpret=interpret)
     if use_v3 is None:
         use_v3 = (_os.environ.get("SLIM_PALLAS_V3", "1") != "0"
                   and pallas_large_v3_supported(B, npad))
@@ -982,6 +1293,78 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
         cond, body, (x0, exact_q(x0), live0, jnp.zeros(B, F32), conv0,
                      jnp.zeros((), jnp.int32)))
 
+    niters = niters_f.astype(jnp.int32)
+    q = jnp.dot(x, G, preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST)
+    rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
+                   + jnp.sum(x * q, axis=1))
+    obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \
+        + l1v * jnp.sum(jnp.abs(x), axis=1)
+    return x, niters, converged, rnorm, obj
+
+
+def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
+                         l1r, l2r, optTol, seed, shuffle=True,
+                         interpret=False):
+    """Transposed-layout sweep loop (see :func:`pallas_solve_large_core`):
+    all (B, npad) operands are transposed ONCE outside the while loop
+    (XLA transposes, negligible next to the sweeps), carried
+    coordinate-major through the v4 kernel, and the solution is
+    transposed back for the stats epilogue."""
+    B, npad = gj.shape
+    ngroups = npad // GROUP
+    act_i8T = active.T.astype(jnp.int8)
+    act_fT = active.T.astype(F32)
+    gjT = gj.T.astype(F32)
+    diag2d = diag.reshape(1, npad).astype(F32)
+    l1v = jnp.broadcast_to(jnp.asarray(l1r, F32).reshape(-1), (B,))
+    l2v = jnp.broadcast_to(jnp.asarray(l2r, F32).reshape(-1), (B,))
+    caps_f = col_maxniters.astype(F32)
+    key = jax.random.PRNGKey(seed)
+    x0T = jnp.where(active, x0.astype(F32), 0.0).T
+    tmax = jnp.max(jnp.where(jnp.any(active, axis=1), col_maxniters, 0))
+    any_act = jnp.any(active, axis=1)
+    live0 = (any_act & (col_maxniters > 0)).astype(F32)[None, :]  # (1, B)
+    conv0 = (~any_act) & (col_maxniters > 0)
+
+    def exact_qT(xT):
+        # qT = (x G)^T = G^T x^T = G x^T (G symmetric)
+        return jnp.dot(G, xT, preferred_element_type=F32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def cond(carry):
+        xT, qT, live, niters, conv, t = carry
+        return (t < tmax) & jnp.any(live > 0)
+
+    def body(carry):
+        xT, qT, live, niters, conv, t = carry
+        tkey = jax.random.fold_in(key, t)
+        if shuffle:
+            perm = jax.random.permutation(tkey, ngroups).astype(jnp.int32)
+        else:
+            perm = jnp.arange(ngroups, dtype=jnp.int32)
+        group_any = (jnp.sum(act_fT * live, axis=1)
+                     .reshape(ngroups, GROUP).sum(axis=1) > 0)
+        # cluster active groups at the front (see the v3 comment)
+        inactive = (~jnp.take(group_any, perm)).astype(jnp.int32)
+        perm = jnp.take(perm, jnp.argsort(inactive, stable=True))
+        has = jnp.take(group_any, perm).astype(jnp.int32)
+        regsT = jnp.stack(
+            [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
+             jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=0)
+        qT = jax.lax.cond(t % Q_REFRESH == 0, exact_qT, lambda _x: qT, xT)
+        xn, qn, liven, nit_d, dl = pallas_cd_sweep_large_v4(
+            G, gjT, act_i8T, xT, qT, live, diag2d, regsT, perm, has,
+            interpret=interpret)
+        died = (live[0] > 0) & (liven[0] == 0)
+        conv = conv | (died & (dl[0] < jnp.asarray(optTol, F32)))
+        return xn, qn, liven, niters + nit_d[0], conv, t + 1
+
+    xT, qT, live, niters_f, converged, t = jax.lax.while_loop(
+        cond, body, (x0T, exact_qT(x0T), live0, jnp.zeros(B, F32), conv0,
+                     jnp.zeros((), jnp.int32)))
+
+    x = xT.T
     niters = niters_f.astype(jnp.int32)
     q = jnp.dot(x, G, preferred_element_type=F32,
                 precision=jax.lax.Precision.HIGHEST)

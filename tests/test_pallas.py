@@ -114,6 +114,60 @@ def test_pallas_large_v3_matches_xla():
                                np.asarray(out_s1[4]), rtol=1e-4)
 
 
+def test_pallas_large_v4_matches_xla():
+    """Transposed deferred-flush kernel (v4) in interpret mode: exact-order
+    parity with XLA, and shuffled parity with the eager panelized kernel
+    (identical perm stream -- differences are reassociation only)."""
+    from slim_tpu.ops.pallas_cd import (GROUP, K_FLUSH,
+                                        pallas_large_v4_supported,
+                                        pallas_solve_large_core)
+    import jax
+
+    npad = GROUP * 2 * K_FLUSH
+    assert pallas_large_v4_supported(32, npad)
+    rng = np.random.default_rng(11)
+    n = 90
+    mat = random_csr(rng, 120, n, density=0.25, seed=11)
+    G = compute_gram(mat, "host", pad_to=npad)
+    Gh = np.array(G)
+    Gh[GROUP * 3:GROUP * 3 + 8, :32] = 0.9
+    Gh[:32, GROUP * 3:GROUP * 3 + 8] = 0.9
+    np.fill_diagonal(Gh, np.maximum(np.diagonal(Gh), 1.0))
+    G = jnp.asarray(Gh)
+    diag = jnp.diagonal(G)
+    B = 32
+    J = np.arange(B, dtype=np.int32) % n
+    gj = jnp.take(G, jnp.asarray(J), axis=1).T
+    cols = jnp.arange(npad, dtype=jnp.int32)
+    active = (gj > 0.3) & (cols[None, :] != jnp.asarray(J)[:, None])
+    yty = jnp.take(diag, jnp.asarray(J))
+    x0 = jnp.zeros((B, npad), jnp.float32)
+    caps = jnp.full((B,), 200, jnp.int32)
+
+    solve = jax.jit(pallas_solve_large_core, static_argnames=(
+        "shuffle", "interpret", "use_v3", "use_v4"))
+    out_l = solve(G, gj, diag, active, x0, caps, yty, 0.3, 0.5, 1e-10, 5,
+                  shuffle=False, interpret=True, use_v4=True)
+    from slim_tpu.ops.cd_kernel import cd_solve_block
+    out_x = cd_solve_block(G, gj, diag, active, x0, caps, yty,
+                           0.3, 0.5, 1e-10, 5, shuffle=False)
+    np.testing.assert_allclose(np.asarray(out_l[0]),
+                               np.asarray(out_x[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_l[4]),
+                               np.asarray(out_x[4]), rtol=1e-4)
+    # niters/converged/rnorm must agree too (same visit order)
+    np.testing.assert_array_equal(np.asarray(out_l[1]),
+                                  np.asarray(out_x[1]))
+    out_s4 = solve(G, gj, diag, active, x0, caps, yty, 0.3, 0.5, 1e-10, 5,
+                   shuffle=True, interpret=True, use_v4=True)
+    out_s1 = solve(G, gj, diag, active, x0, caps, yty, 0.3, 0.5, 1e-10, 5,
+                   shuffle=True, interpret=True, use_v3=False, use_v4=False)
+    np.testing.assert_allclose(np.asarray(out_s4[0]),
+                               np.asarray(out_s1[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_s4[4]),
+                               np.asarray(out_s1[4]), rtol=1e-4)
+
+
 def test_pallas_large_kernel_matches_xla():
     """Panelized (HBM-resident x/q) kernel in interpret mode vs XLA."""
     from slim_tpu.ops.pallas_cd import pallas_solve_large_core, PANEL
