@@ -28,11 +28,23 @@ from slim_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 V3 = os.environ.get("SLIM_AB_V3") == "1"
-sweep = pc.pallas_cd_sweep_large_v3 if V3 else pc.pallas_cd_sweep_large
-ok = (pc.pallas_large_v3_supported(B, npad) if V3
-      else pc.pallas_large_supported(B, npad))
+V4 = os.environ.get("SLIM_AB_V4") == "1"
+if V4:
+    sweep_raw = pc.pallas_cd_sweep_large_v4
+    ok = pc.pallas_large_v4_supported(B, npad)
+elif V3:
+    sweep_raw = pc.pallas_cd_sweep_large_v3
+    ok = pc.pallas_large_v3_supported(B, npad)
+else:
+    sweep_raw = pc.pallas_cd_sweep_large
+    ok = pc.pallas_large_supported(B, npad)
 out = {"panel": pc.PANEL, "group": pc.GROUP, "npad": npad, "B": B,
-       "v3": V3, "kflush": pc.K_FLUSH if V3 else None, "supported": ok}
+       "v3": V3, "v4": V4,
+       "kflush": pc.K_FLUSH if (V3 or V4) else None, "supported": ok}
+
+# V4 takes the same positional signature with transposed operands; the
+# harness arrays are pre-transposed below, outside the timed region
+sweep = sweep_raw
 if not ok:
     print(json.dumps(out))
     sys.exit(0)
@@ -63,6 +75,13 @@ regs = jnp.stack([jnp.full((B,), 0.1, jnp.float32),
                   jnp.zeros((B,), jnp.float32),
                   jnp.full((B,), 1e-12, jnp.float32)], axis=1)
 live = jnp.ones((B, 1), jnp.float32)
+if V4:
+    gj = jnp.asarray(np.asarray(gj).T)          # (npad, B)
+    act_i8 = jnp.asarray(act.astype(np.int8).T)
+    x = jnp.zeros((npad, B), jnp.float32)
+    q = jnp.zeros((npad, B), jnp.float32)
+    regs = jnp.asarray(np.asarray(regs).T)      # (5, B)
+    live = jnp.ones((1, B), jnp.float32)
 ngroups = npad // pc.GROUP
 perm = jnp.arange(ngroups, dtype=jnp.int32)
 has = jnp.ones((ngroups,), jnp.int32)
