@@ -120,3 +120,33 @@ ids2, _, _ = predict_topn(mdl2, train_csr, nrcmds=10, sparse=True)
 from slim_tpu import native
 if native.available():
     nids, nsc, ncnt = native.predict_topn(mdl2, train_csr, nrcmds=10)
+
+# --------------------------------------------------------------------- #
+# 9. Multi-chip SPMD (works on any jax.sharding.Mesh; here: CPU devices)
+# --------------------------------------------------------------------- #
+# distributed_learn: rating matrix row-sharded as sparse triplets, Gram
+# psum'd over the mesh, column blocks fanned out across per-device G
+# replicas through the same single-device driver.  Result matches the
+# single-device solver.
+import jax
+from jax.sharding import Mesh
+
+if len(jax.devices()) > 1:
+    from slim_tpu.parallel.dist import (distributed_learn,
+                                        distributed_learn_blockwise,
+                                        sharded_predict)
+
+    devs = np.array(jax.devices()).reshape(len(jax.devices()), 1)
+    mesh = Mesh(devs, ("dp", "mp"))
+    dmodel, dstats = distributed_learn(train_csr, SlimConfig(l1r=1.0,
+                                                             l2r=1.0), mesh)
+    # blockwise mode: G is never materialized anywhere -- use for
+    # catalogues too large for an (n, n) Gram (>100k items)
+    bmodel, bstats = distributed_learn_blockwise(
+        train_csr, SlimConfig(l1r=1.0, l2r=1.0, block_size=128), mesh)
+    # users sharded over the grid, W replicated
+    dids, dsc, dcnt = sharded_predict(dmodel, train_csr, mesh, nrcmds=10)
+
+# Multi-host: call slim_tpu.parallel.mesh.init_distributed() once per
+# process (wraps jax.distributed.initialize), then build the Mesh over
+# jax.devices() exactly as above.
