@@ -168,3 +168,44 @@ def test_predict_scan_matches_block(rng):
             np.testing.assert_allclose(np.sort(bsc[u][:k]),
                                        np.sort(ssc[u][:k]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_predict_sparse_200k_item_catalogue():
+    """North-star regime smoke (BASELINE configs[4] shape, scaled): a
+    200k-item catalogue is only servable through the padded-sparse path
+    (a dense W would be 160GB); checks top-N against a scipy oracle.
+
+    Reference semantics anchor: predict.c:40-66 (score = sum over history
+    of the items' model rows; history excluded; count = #positive)."""
+    import scipy.sparse as sp
+
+    n = 200_000
+    nusers = 64
+    rng = np.random.default_rng(400)
+    # model: ~12 nnz per item row, nonnegative values
+    nnz_m = 12 * n
+    mr = rng.integers(0, n, nnz_m)
+    mc = rng.integers(0, n, nnz_m)
+    mv = rng.random(nnz_m, dtype=np.float32) + 0.01
+    model = CSR.from_ijv(mr, mc, mv, nrows=n, ncols=n)
+    hr = np.repeat(np.arange(nusers), 20)
+    hc = rng.integers(0, n, hr.size)
+    hv = np.ones(hr.size, np.float32)
+    hist = CSR.from_ijv(hr, hc, hv, nrows=nusers, ncols=n)
+
+    ids, scores, counts = predict_topn(model, hist, nrcmds=10, sparse=True,
+                                       user_block=16)
+
+    W = sp.csr_matrix((model.values(), model.indices, model.indptr),
+                      shape=(n, n))
+    H = sp.csr_matrix((hist.values(), hist.indices, hist.indptr),
+                      shape=(nusers, n))
+    S = np.asarray((H @ W).todense())
+    for u in range(nusers):
+        s = S[u].copy()
+        s[hist.indices[hist.indptr[u]:hist.indptr[u + 1]]] = -np.inf
+        k = int(counts[u])
+        assert k == min(10, int((s > 0).sum()))
+        top_ref = np.sort(s)[::-1][:k]
+        np.testing.assert_allclose(np.sort(scores[u][:k])[::-1], top_ref,
+                                   rtol=1e-4, atol=1e-4)
