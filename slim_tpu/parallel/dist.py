@@ -246,6 +246,53 @@ def distributed_learn(train: CSR, cfg, mesh: Mesh, imodel: CSR | None = None):
 # blockwise distributed learn: G never materialized (>100k items)
 # --------------------------------------------------------------------- #
 _blockwise_fns: dict = {}
+_screen_flags_fns: dict = {}
+
+# per-device byte budget for the screen's (npad, chunk) ATY intermediate;
+# bounds the superblock screen at very large catalogues (a full
+# (npad, Bsup) ATY is 32GB replicated at the 2M-item north star)
+SCREEN_BYTES = 1 << 31
+
+
+def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
+                      l1r: float):
+    """Jitted SPMD screen for one chunk of target columns, returning ONLY
+    the union active flags (npad,).  The solve never needs the screen's
+    ATY values: target columns are members of the compact set S, so their
+    Gram rows come out of the psum'd compact Gram G[S, S] instead.  That
+    makes the (npad, chunk) scatter intermediate the only screen memory,
+    and ``chunk`` bounds it (SCREEN_BYTES) independently of the
+    superblock width."""
+    key = (id(mesh), rb, npad, chunk, l1r)
+    fn = _screen_flags_fns.get(key)
+    if fn is None:
+        def screen_f(lr, cc, vv, jarr):
+            jl = jnp.full((npad,), chunk, jnp.int32).at[jarr].set(
+                jnp.arange(chunk, dtype=jnp.int32))
+
+            def body(aty, xs):
+                l, c, v = xs
+                ypos = jl[c]
+                yblk = jnp.zeros((rb, chunk), jnp.float32)
+                yblk = yblk.at[l, ypos].add(v, mode="drop")
+                contrib = v[:, None] * yblk[jnp.clip(l, 0, rb - 1)]
+                return aty.at[c].add(
+                    jnp.where((l[:, None] >= 0) & (l[:, None] < rb),
+                              contrib, 0.0), mode="drop"), None
+
+            aty0 = jnp.zeros((npad, chunk), jnp.float32)
+            aty, _ = jax.lax.scan(body, aty0, (lr, cc, vv))
+            aty = jax.lax.psum(aty, ("dp", "mp"))
+            rows = jnp.arange(npad, dtype=jnp.int32)
+            active = (aty > l1r) & (rows[:, None] != jarr[None, :])
+            return jnp.any(active, axis=1)
+
+        spec = P(("dp", "mp"), None)
+        fn = jax.jit(shard_map(
+            screen_f, mesh=mesh, in_specs=(spec, spec, spec, P(None)),
+            out_specs=P(None), check_vma=False))
+        _screen_flags_fns[key] = fn
+    return fn
 
 
 def _get_blockwise_fns(mesh: Mesh, rb: int, npad: int, Bsup: int, K: int,
@@ -371,11 +418,17 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
     """Distributed CD learn for catalogues where G cannot be materialized.
 
     Per super-block of ndev·block_size item columns (frequency-rank
-    order): one psum'd screen pass produces the union active set, one
-    psum'd compact-Gram pass produces G[S, S], and the columns solve
-    sharded over the grid -- exact SLIM/FSLIM semantics with per-block
-    O(K²) memory instead of O(n²) anywhere (SURVEY §7 hard part #1).
-    Collective traffic per super-block: (npad, Bsup) + (K, K) over ICI.
+    order): a memory-bounded screen pass produces the union active set
+    (flags only, accumulated over column chunks of at most SCREEN_BYTES;
+    the targets' Gram rows come out of the compact Gram, so the screen
+    ATY is never materialized at super-block width), one psum'd
+    compact-Gram pass produces G[S, S], and the columns solve sharded
+    over the grid -- exact SLIM/FSLIM semantics with per-block O(K²)
+    memory instead of O(n²) anywhere (SURVEY §7 hard part #1).  FSLIM
+    keeps the full-width ATY screen (its top-k needs the values).
+    Collective traffic per super-block: (npad, chunk)·nchunks + (K, K)
+    over ICI; peak per-device memory at the 2M-item north star is the
+    (npad, chunk) screen buffer (~2GB) + G[S, S].
     """
     from ..solvers.cd import EPSILON, bucket_npad
 
@@ -437,6 +490,10 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         mesh, row_block, npad, Bsup, 1, float(cfg.l1r), float(cfg.l2r),
         float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
     diag_dev = diag_fn(lr_d, cc_d, vv_d)
+    screen_chunk = max(128, min(Bsup,
+                                (SCREEN_BYTES // (npad * 4)) // 128 * 128))
+    screen_flags_fn = _get_screen_flags(mesh, row_block, npad, screen_chunk,
+                                        float(cfg.l1r))
 
     # frequency-rank order puts every empty column at the tail; an empty
     # column has cap 0 and a zero solution, so the loop stops at the last
@@ -451,9 +508,25 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         caps = np.zeros(Bsup, dtype=np.int32)
         caps[:nJ] = caps_p[s0:s0 + nJ]
 
-        aty, flags = screen_fn(lr_d, cc_d, vv_d,
-                               jax.device_put(jarr, repl), diag_dev)
-        flags_h = np.asarray(flags)
+        if fslim_nnbrs > 0:
+            # FSLIM's top-k similarity needs the full per-column ATY
+            aty, flags = screen_fn(lr_d, cc_d, vv_d,
+                                   jax.device_put(jarr, repl), diag_dev)
+            flags_h = np.asarray(flags)
+        else:
+            # memory-bounded screen: union flags only, in column chunks of
+            # (npad, chunk) -- the solve reads the targets' Gram rows out
+            # of the compact Gram below, so ATY is never materialized at
+            # superblock width (32GB at the 2M-item north star)
+            aty = None
+            flags_h = np.zeros(npad, bool)
+            for c0 in range(0, nJ, screen_chunk):
+                m = min(screen_chunk, nJ - c0)
+                jc = np.full(screen_chunk, npad - 1, np.int32)
+                jc[:m] = jarr[c0:c0 + m]
+                fl = screen_flags_fn(lr_d, cc_d, vv_d,
+                                     jax.device_put(jc, repl))
+                flags_h |= np.asarray(fl)
         ids = np.nonzero(flags_h)[0]
         # S must contain the targets (the solve reads gj at the target's
         # compact position); the self column stays inactive via the mask
@@ -480,8 +553,15 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
                 ok = pos >= 0
                 x0_host[b, pos[ok]] = imodel_csc.values()[lo:hi][ok]
 
-        # gjs = ATY[S, :].T for this block's columns; yty = ATY[j, b]
-        gjs = jnp.take(aty, S_dev, axis=0).T              # (Bsup, K)
+        if aty is not None:
+            # gjs = ATY[S, :].T for this block's columns
+            gjs = jnp.take(aty, S_dev, axis=0).T          # (Bsup, K)
+        else:
+            # targets are members of S, so their Gram rows are columns of
+            # the compact Gram: gjs[b] = G[S, j_b] = Gs[:, pos(j_b in S)]
+            posj = np.minimum(np.searchsorted(S, jarr), K - 1)
+            gjs = jnp.take(Gs, jnp.asarray(posj.astype(np.int32)),
+                           axis=1).T                      # (Bsup, K)
         yty = jnp.take(diag_dev, jax.device_put(jarr, repl))
         x, niters, rstatus, rnorm, obj = solve_fn(
             Gs, jax.device_put(np.asarray(gjs), cols2_spec),

@@ -125,3 +125,23 @@ def test_sharded_predict_matches_single(rng):
     ids_s, sc_s, ct_s = predict_topn(model, mat, nrcmds=5)
     np.testing.assert_array_equal(ct_d, ct_s)
     np.testing.assert_allclose(sc_d, sc_s, rtol=1e-5)
+
+
+def test_blockwise_chunked_screen_matches(rng, monkeypatch):
+    """The memory-bounded screen (union flags accumulated over column
+    chunks, gj rows read from the compact Gram) must reproduce the
+    full-width screen exactly.  Forces multiple chunks per superblock by
+    shrinking the per-device ATY byte budget."""
+    import slim_tpu.parallel.dist as dist
+
+    # 300 items, Bsup = 8 dev * 32 = 256 -> first superblock has nJ=256
+    # targets; budget of 128 columns -> 2 screen chunks per superblock
+    mat = random_csr(rng, 96, 300, density=0.18, seed=79)
+    mesh = make_mesh(8)
+    cfg2 = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, block_size=32,
+                      shuffle=False)
+    monkeypatch.setattr(dist, "SCREEN_BYTES", 128 * 384 * 4)
+    bw_model, _ = dist.distributed_learn_blockwise(mat, cfg2, mesh)
+    single_model, _ = estimate_model_cd(mat, cfg2)
+    np.testing.assert_allclose(bw_model.to_scipy().toarray(),
+                               single_model.to_scipy().toarray(), atol=5e-4)
