@@ -144,6 +144,12 @@ if len(jax.devices()) > 1:
     # catalogues too large for an (n, n) Gram (>100k items)
     bmodel, bstats = distributed_learn_blockwise(
         train_csr, SlimConfig(l1r=1.0, l2r=1.0, block_size=128), mesh)
+    # sharded-G mode: G computed once, column-sharded over the grid
+    # (per-device HBM = n^2*4/ndev) -- the pod middle regime where
+    # re-deriving per-block Grams from triplets would be wasteful
+    from slim_tpu.parallel.dist import distributed_learn_sharded_g
+    gmodel, gstats = distributed_learn_sharded_g(
+        train_csr, SlimConfig(l1r=1.0, l2r=1.0, block_size=64), mesh)
     # users sharded over the grid, W replicated
     dids, dsc, dcnt = sharded_predict(dmodel, train_csr, mesh, nrcmds=10)
 

@@ -412,43 +412,11 @@ def _get_blockwise_fns(mesh: Mesh, rb: int, npad: int, Bsup: int, K: int,
     return fns
 
 
-def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
-                                imodel: CSR | None = None,
-                                row_block: int = 512):
-    """Distributed CD learn for catalogues where G cannot be materialized.
-
-    Per super-block of ndev·block_size item columns (frequency-rank
-    order): a memory-bounded screen pass produces the union active set
-    (flags only, accumulated over column chunks of at most SCREEN_BYTES;
-    the targets' Gram rows come out of the compact Gram, so the screen
-    ATY is never materialized at super-block width), one psum'd
-    compact-Gram pass produces G[S, S], and the columns solve sharded
-    over the grid -- exact SLIM/FSLIM semantics with per-block O(K²)
-    memory instead of O(n²) anywhere (SURVEY §7 hard part #1).  FSLIM
-    keeps the full-width ATY screen (its top-k needs the values).
-    Collective traffic per super-block: (npad, chunk)·nchunks + (K, K)
-    over ICI; peak per-device memory at the 2M-item north star is the
-    (npad, chunk) screen buffer (~2GB) + G[S, S].
-    """
-    from ..solvers.cd import EPSILON, bucket_npad
-
-    train = train.infer_ncols()
-    n = train.ncols
-    npad = bucket_npad(n)
+def _rank_triplets(train: CSR, mesh: Mesh, row_block: int, npad: int,
+                   posmap):
+    """Row-sharded padded (local_row, col, val) triplets in RANK space,
+    device_put once over the flattened grid."""
     ndev = mesh.size
-    B = int(cfg.block_size)
-    Bsup = ndev * B
-    fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
-
-    csc = train.transpose()
-    nnz_col = csc.row_nnz().astype(np.int64)
-    col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
-    p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
-    posmap = np.empty(n, dtype=np.int32)
-    posmap[p] = np.arange(n, dtype=np.int32)
-    caps_p = col_caps[p]
-
-    # row-sharded padded triplets in RANK space, device_put once
     nrows = train.nrows
     per_dev = _round_up(max((nrows + ndev - 1) // ndev, 1), row_block)
     total_steps = ndev * (per_dev // row_block)
@@ -471,35 +439,31 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         cc[k, :e - s] = posmap[train.indices[s:e]]
         vv[k, :e - s] = vals[s:e]
     spec = NamedSharding(mesh, P(("dp", "mp"), None))
-    lr_d = jax.device_put(lr, spec)
-    cc_d = jax.device_put(cc, spec)
-    vv_d = jax.device_put(vv, spec)
+    return (jax.device_put(lr, spec), jax.device_put(cc, spec),
+            jax.device_put(vv, spec))
 
-    use_warm = imodel is not None and cfg.mtype in ("slim", "oslim")
-    imodel_csc = imodel.transpose() if use_warm else None
 
+def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
+                       n_eff, diag_dev, flags_cb, gs_cb, imodel,
+                       fslim_nnbrs):
+    """Shared superblock driver for the G-free and sharded-G distributed
+    modes: build the target block, screen (``flags_cb``), compact to S,
+    obtain the compact Gram + solver (``gs_cb``), warm-start, solve the
+    columns sharded over the grid, harvest.  Exact single-device
+    semantics (same screening, caps, coordinate order per block)."""
+    from ..solvers.cd import EPSILON, bucket_npad
+
+    ndev = mesh.size
     cols_spec = NamedSharding(mesh, P(("dp", "mp")))
     cols2_spec = NamedSharding(mesh, P(("dp", "mp"), None))
     repl = NamedSharding(mesh, P(None))
 
+    use_warm = imodel is not None and cfg.mtype in ("slim", "oslim")
+    imodel_csc = imodel.transpose() if use_warm else None
+
     total_err = total_obj = 0.0
     total_niters = 0
     coord_ids, target_ids, out_vals = [], [], []
-
-    screen_fn, _, diag_fn, _ = _get_blockwise_fns(
-        mesh, row_block, npad, Bsup, 1, float(cfg.l1r), float(cfg.l2r),
-        float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
-    diag_dev = diag_fn(lr_d, cc_d, vv_d)
-    screen_chunk = max(128, min(Bsup,
-                                (SCREEN_BYTES // (npad * 4)) // 128 * 128))
-    screen_flags_fn = _get_screen_flags(mesh, row_block, npad, screen_chunk,
-                                        float(cfg.l1r))
-
-    # frequency-rank order puts every empty column at the tail; an empty
-    # column has cap 0 and a zero solution, so the loop stops at the last
-    # nonempty one (the reference skips them the same way via the nnz==0
-    # guard, estimate.c:416)
-    n_eff = int((nnz_col > 0).sum())
 
     for s0 in range(0, n_eff, Bsup):
         nJ = min(Bsup, n_eff - s0)
@@ -508,25 +472,7 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         caps = np.zeros(Bsup, dtype=np.int32)
         caps[:nJ] = caps_p[s0:s0 + nJ]
 
-        if fslim_nnbrs > 0:
-            # FSLIM's top-k similarity needs the full per-column ATY
-            aty, flags = screen_fn(lr_d, cc_d, vv_d,
-                                   jax.device_put(jarr, repl), diag_dev)
-            flags_h = np.asarray(flags)
-        else:
-            # memory-bounded screen: union flags only, in column chunks of
-            # (npad, chunk) -- the solve reads the targets' Gram rows out
-            # of the compact Gram below, so ATY is never materialized at
-            # superblock width (32GB at the 2M-item north star)
-            aty = None
-            flags_h = np.zeros(npad, bool)
-            for c0 in range(0, nJ, screen_chunk):
-                m = min(screen_chunk, nJ - c0)
-                jc = np.full(screen_chunk, npad - 1, np.int32)
-                jc[:m] = jarr[c0:c0 + m]
-                fl = screen_flags_fn(lr_d, cc_d, vv_d,
-                                     jax.device_put(jc, repl))
-                flags_h |= np.asarray(fl)
+        flags_h, aty = flags_cb(jarr, nJ)
         ids = np.nonzero(flags_h)[0]
         # S must contain the targets (the solve reads gj at the target's
         # compact position); the self column stays inactive via the mask
@@ -534,12 +480,9 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         K = min(bucket_npad(max(ids.size, 1)), npad)
         S = np.full(K, npad - 1, dtype=np.int32)
         S[:min(ids.size, K)] = ids[:K].astype(np.int32)
-
-        _, gramc_fn, _, solve_fn = _get_blockwise_fns(
-            mesh, row_block, npad, Bsup, K, float(cfg.l1r), float(cfg.l2r),
-            float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
         S_dev = jax.device_put(S, repl)
-        Gs = gramc_fn(lr_d, cc_d, vv_d, S_dev)
+
+        Gs, solve_fn = gs_cb(S, S_dev, K)
 
         x0_host = np.zeros((Bsup, K), np.float32)
         if use_warm:
@@ -591,7 +534,277 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         np.concatenate(out_vals) if out_vals else np.zeros(0, np.float32),
         nrows=n, ncols=n, no_duplicates=True)
     stats = {"loss": total_obj, "fit": total_err, "nnz": model.nnz,
-             "niters": total_niters, "ndevices": ndev, "mode": "blockwise"}
+             "niters": total_niters, "ndevices": ndev}
+    return model, stats
+
+
+def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
+                                imodel: CSR | None = None,
+                                row_block: int = 512):
+    """Distributed CD learn for catalogues where G cannot be materialized.
+
+    Per super-block of ndev·block_size item columns (frequency-rank
+    order): a memory-bounded screen pass produces the union active set
+    (flags only, accumulated over column chunks of at most SCREEN_BYTES;
+    the targets' Gram rows come out of the compact Gram, so the screen
+    ATY is never materialized at super-block width), one psum'd
+    compact-Gram pass produces G[S, S], and the columns solve sharded
+    over the grid -- exact SLIM/FSLIM semantics with per-block O(K²)
+    memory instead of O(n²) anywhere (SURVEY §7 hard part #1).  FSLIM
+    keeps the full-width ATY screen (its top-k needs the values).
+    Collective traffic per super-block: (npad, chunk)·nchunks + (K, K)
+    over ICI; peak per-device memory at the 2M-item north star is the
+    (npad, chunk) screen buffer (~2GB) + G[S, S].
+    """
+    from ..solvers.cd import bucket_npad
+
+    train = train.infer_ncols()
+    n = train.ncols
+    npad = bucket_npad(n)
+    ndev = mesh.size
+    Bsup = ndev * int(cfg.block_size)
+    fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
+
+    csc = train.transpose()
+    nnz_col = csc.row_nnz().astype(np.int64)
+    col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
+    p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
+    posmap = np.empty(n, dtype=np.int32)
+    posmap[p] = np.arange(n, dtype=np.int32)
+    caps_p = col_caps[p]
+
+    lr_d, cc_d, vv_d = _rank_triplets(train, mesh, row_block, npad, posmap)
+    repl = NamedSharding(mesh, P(None))
+
+    screen_fn, _, diag_fn, _ = _get_blockwise_fns(
+        mesh, row_block, npad, Bsup, 1, float(cfg.l1r), float(cfg.l2r),
+        float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
+    diag_dev = diag_fn(lr_d, cc_d, vv_d)
+    screen_chunk = max(128, min(Bsup,
+                                (SCREEN_BYTES // (npad * 4)) // 128 * 128))
+    screen_flags_fn = _get_screen_flags(mesh, row_block, npad, screen_chunk,
+                                        float(cfg.l1r))
+
+    def flags_cb(jarr, nJ):
+        if fslim_nnbrs > 0:
+            # FSLIM's top-k similarity needs the full per-column ATY
+            aty, flags = screen_fn(lr_d, cc_d, vv_d,
+                                   jax.device_put(jarr, repl), diag_dev)
+            return np.asarray(flags), aty
+        # memory-bounded screen: union flags only, in column chunks of
+        # (npad, chunk) -- ATY is never materialized at superblock width
+        # (32GB at the 2M-item north star)
+        flags_h = np.zeros(npad, bool)
+        for c0 in range(0, nJ, screen_chunk):
+            m = min(screen_chunk, nJ - c0)
+            jc = np.full(screen_chunk, npad - 1, np.int32)
+            jc[:m] = jarr[c0:c0 + m]
+            fl = screen_flags_fn(lr_d, cc_d, vv_d, jax.device_put(jc, repl))
+            flags_h |= np.asarray(fl)
+        return flags_h, None
+
+    def gs_cb(S, S_dev, K):
+        _, gramc_fn, _, solve_fn = _get_blockwise_fns(
+            mesh, row_block, npad, Bsup, K, float(cfg.l1r), float(cfg.l2r),
+            float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
+        return gramc_fn(lr_d, cc_d, vv_d, S_dev), solve_fn
+
+    model, stats = _superblocks_solve(
+        train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
+        int((nnz_col > 0).sum()), diag_dev, flags_cb, gs_cb, imodel,
+        fslim_nnbrs)
+    stats["mode"] = "blockwise"
+    return model, stats
+
+
+# --------------------------------------------------------------------- #
+# resident column-sharded G mode (100k-500k items on a pod)
+# --------------------------------------------------------------------- #
+_gram_colblock_fns: dict = {}
+_g_screen_fns: dict = {}
+_g_gather_fns: dict = {}
+
+
+def _get_gram_colblock(mesh: Mesh, rb: int, W_tot: int, width: int):
+    """Jitted SPMD fn(lr, cc, vv, c0) -> G[:, c0:c0+width] replicated.
+    Every device scatter-densifies its row blocks at full width and
+    multiplies against the dynamic column slice on its MXU; the psum
+    completes the column block.  Called once per device column block at
+    setup (total FLOPs = one full Gram, split over the grid)."""
+    key = (id(mesh), rb, W_tot, width)
+    fn = _gram_colblock_fns.get(key)
+    if fn is None:
+        def gramb(lr, cc, vv, c0):
+            def body(g, xs):
+                l, c, v = xs
+                blk = jnp.zeros((rb, W_tot), jnp.float32)
+                blk = blk.at[l, c].add(v, unique_indices=True, mode="drop")
+                bc = jax.lax.dynamic_slice(blk, (0, c0), (rb, width))
+                return g + jnp.dot(
+                    blk.T, bc, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), None
+
+            g0 = jnp.zeros((W_tot, width), jnp.float32)
+            g, _ = jax.lax.scan(body, g0, (lr, cc, vv))
+            return jax.lax.psum(g, ("dp", "mp"))
+
+        spec = P(("dp", "mp"), None)
+        fn = jax.jit(shard_map(
+            gramb, mesh=mesh, in_specs=(spec, spec, spec, P()),
+            out_specs=P(None, None), check_vma=False))
+        _gram_colblock_fns[key] = fn
+    return fn
+
+
+def _flat_index(mesh: Mesh):
+    mp_size = mesh.shape["mp"]
+    return lambda: (jax.lax.axis_index("dp") * mp_size
+                    + jax.lax.axis_index("mp"))
+
+
+def _get_g_screen(mesh: Mesh, W_tot: int, width: int, chunk: int,
+                  l1r: float):
+    """Union active flags for a chunk of target columns read straight out
+    of the resident column-sharded G: the owner of each target column
+    tests G[:, j] > l1r locally; an integer psum ORs the per-device
+    flags."""
+    key = (id(mesh), W_tot, width, chunk, l1r)
+    fn = _g_screen_fns.get(key)
+    if fn is None:
+        fidx = _flat_index(mesh)
+
+        def screen_g(gl, jc):
+            c0 = fidx() * width
+            pos = jc - c0
+            valid = (pos >= 0) & (pos < width)
+            cols = jnp.clip(pos, 0, width - 1)
+            sub = jnp.take(gl, cols, axis=1)              # (W_tot, chunk)
+            rows = jnp.arange(W_tot, dtype=jnp.int32)
+            act = (sub > l1r) & valid[None, :] & \
+                (rows[:, None] != jc[None, :])
+            loc = jnp.any(act, axis=1).astype(jnp.int32)
+            return jax.lax.psum(loc, ("dp", "mp")) > 0
+
+        fn = jax.jit(shard_map(
+            screen_g, mesh=mesh,
+            in_specs=(P(None, ("dp", "mp")), P(None)),
+            out_specs=P(None), check_vma=False))
+        _g_screen_fns[key] = fn
+    return fn
+
+
+def _get_g_gather(mesh: Mesh, W_tot: int, width: int, K: int):
+    """Compact Gram G[S, S] gathered from the resident column-sharded G:
+    each device contributes the columns of S it owns (rows gathered
+    first, so the peak intermediate is (K, width)); the psum assembles
+    the replicated (K, K)."""
+    key = (id(mesh), W_tot, width, K)
+    fn = _g_gather_fns.get(key)
+    if fn is None:
+        fidx = _flat_index(mesh)
+
+        def gather_g(gl, S):
+            c0 = fidx() * width
+            grows = jnp.take(gl, S, axis=0)               # (K, width)
+            pos = S - c0
+            valid = (pos >= 0) & (pos < width)
+            cols = jnp.clip(pos, 0, width - 1)
+            sub = jnp.take(grows, cols, axis=1)           # (K, K)
+            return jax.lax.psum(
+                jnp.where(valid[None, :], sub, 0.0), ("dp", "mp"))
+
+        fn = jax.jit(shard_map(
+            gather_g, mesh=mesh,
+            in_specs=(P(None, ("dp", "mp")), P(None)),
+            out_specs=P(None, None), check_vma=False))
+        _g_gather_fns[key] = fn
+    return fn
+
+
+def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
+                                imodel: CSR | None = None,
+                                row_block: int = 512):
+    """Distributed CD learn with a RESIDENT column-sharded Gram.
+
+    The middle regime between `distributed_learn` (replicated G, fine to
+    ~100k items) and `distributed_learn_blockwise` (G never exists, no
+    ceiling, but every superblock re-derives its Gram from the raw triplets):
+    G is computed once, column-sharded over the grid (per-device HBM =
+    npad²·4/ndev -- ~5GB at 500k items on 64 devices), and every
+    superblock's screen flags and compact Gram G[S, S] are *gathered*
+    from it with one small psum each (ROADMAP #2's "column-shard G with
+    explicit row exchange", the exchanges riding ICI).  Solves and
+    harvests share `_superblocks_solve` with the blockwise mode, so the
+    result is exactly the single-device model.  FSLIM delegates to the
+    blockwise path (its top-k screen needs ATY values, not flags).
+    """
+    from ..solvers.cd import bucket_npad
+
+    if cfg.mtype in ("fslim", "ofslim"):
+        return distributed_learn_blockwise(train, cfg, mesh, imodel,
+                                           row_block)
+
+    train = train.infer_ncols()
+    n = train.ncols
+    npad = bucket_npad(n)
+    ndev = mesh.size
+    Bsup = ndev * int(cfg.block_size)
+
+    csc = train.transpose()
+    nnz_col = csc.row_nnz().astype(np.int64)
+    col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
+    p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
+    posmap = np.empty(n, dtype=np.int32)
+    posmap[p] = np.arange(n, dtype=np.int32)
+    caps_p = col_caps[p]
+
+    lr_d, cc_d, vv_d = _rank_triplets(train, mesh, row_block, npad, posmap)
+    repl = NamedSharding(mesh, P(None))
+
+    _, _, diag_fn, _ = _get_blockwise_fns(
+        mesh, row_block, npad, Bsup, 1, float(cfg.l1r), float(cfg.l2r),
+        float(cfg.optTol), cfg.shuffle, 0, cfg.simtype)
+    diag_dev = diag_fn(lr_d, cc_d, vv_d)
+
+    # build the resident sharded G, one column block per device
+    W_tot = _round_up(npad, ndev)
+    width = W_tot // ndev
+    gramb_fn = _get_gram_colblock(mesh, row_block, W_tot, width)
+    shards = []
+    devs = list(mesh.devices.flat)
+    for e in range(ndev):
+        ge = gramb_fn(lr_d, cc_d, vv_d, np.int32(e * width))
+        shards.append(next(s.data for s in ge.addressable_shards
+                           if s.device == devs[e]))
+    G_sh = jax.make_array_from_single_device_arrays(
+        (W_tot, W_tot), NamedSharding(mesh, P(None, ("dp", "mp"))), shards)
+
+    screen_chunk = max(128, min(Bsup,
+                                (SCREEN_BYTES // (W_tot * 4)) // 128 * 128))
+    screen_fn = _get_g_screen(mesh, W_tot, width, screen_chunk,
+                              float(cfg.l1r))
+
+    def flags_cb(jarr, nJ):
+        flags_h = np.zeros(npad, bool)
+        for c0 in range(0, nJ, screen_chunk):
+            m = min(screen_chunk, nJ - c0)
+            jc = np.full(screen_chunk, npad - 1, np.int32)
+            jc[:m] = jarr[c0:c0 + m]
+            fl = screen_fn(G_sh, jax.device_put(jc, repl))
+            flags_h |= np.asarray(fl)[:npad]
+        return flags_h, None
+
+    def gs_cb(S, S_dev, K):
+        Gs = _get_g_gather(mesh, W_tot, width, K)(G_sh, S_dev)
+        _, _, _, solve_fn = _get_blockwise_fns(
+            mesh, row_block, npad, Bsup, K, float(cfg.l1r), float(cfg.l2r),
+            float(cfg.optTol), cfg.shuffle, 0, cfg.simtype)
+        return Gs, solve_fn
+
+    model, stats = _superblocks_solve(
+        train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
+        int((nnz_col > 0).sum()), diag_dev, flags_cb, gs_cb, imodel, 0)
+    stats["mode"] = "sharded_g"
     return model, stats
 
 

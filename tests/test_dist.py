@@ -145,3 +145,22 @@ def test_blockwise_chunked_screen_matches(rng, monkeypatch):
     single_model, _ = estimate_model_cd(mat, cfg2)
     np.testing.assert_allclose(bw_model.to_scipy().toarray(),
                                single_model.to_scipy().toarray(), atol=5e-4)
+
+
+def test_sharded_g_matches_single_device(rng):
+    """Resident column-sharded-G mode (ROADMAP #2): G computed once,
+    sharded over the grid; per-superblock flags and G[S,S] gathered from
+    it.  Must equal the single-device solver exactly."""
+    from slim_tpu.parallel.dist import distributed_learn_sharded_g
+
+    mat = random_csr(rng, 96, 300, density=0.18, seed=81)
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, block_size=16,
+                     shuffle=False)
+    mesh = make_mesh(8)
+    sg_model, sg_stats = distributed_learn_sharded_g(mat, cfg, mesh)
+    single_model, single_stats = estimate_model_cd(mat, cfg)
+    assert sg_stats["mode"] == "sharded_g"
+    np.testing.assert_allclose(sg_model.to_scipy().toarray(),
+                               single_model.to_scipy().toarray(), atol=5e-4)
+    np.testing.assert_allclose(sg_stats["fit"], single_stats["fit"],
+                               rtol=1e-3)
