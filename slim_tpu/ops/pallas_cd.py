@@ -1223,14 +1223,17 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
     domain admits the shape, unless SLIM_PALLAS_V3=0).  ``use_v4``
     selects the transposed deferred-flush kernel (coordinate-major
     layout: the GS inner loop runs on (1, B) lane-contiguous rows);
-    default: auto (v4 whenever its domain admits the shape, unless
-    SLIM_PALLAS_V4=0)."""
+    default: OFF until measured on real Mosaic -- opt in with
+    SLIM_PALLAS_V4=1 (then auto within its shape domain)."""
     B, npad = gj.shape
     ngroups = npad // GROUP
     if use_v4 is None:
-        # auto only when the caller didn't pin a variant explicitly
+        # OPT-IN until measured on real Mosaic (SLIM_PALLAS_V4=1): a
+        # compile failure at the production shape would land (B, npad)
+        # in the failed-shape cache and route every head block to the
+        # XLA kernel -- far worse than v3's known 52-61s ML-20M time
         use_v4 = (use_v3 is None
-                  and _os.environ.get("SLIM_PALLAS_V4", "1") != "0"
+                  and _os.environ.get("SLIM_PALLAS_V4") == "1"
                   and pallas_large_v4_supported(B, npad))
     if use_v4:
         return _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters,

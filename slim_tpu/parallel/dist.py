@@ -251,7 +251,9 @@ _screen_flags_fns: dict = {}
 # per-device byte budget for the screen's (npad, chunk) ATY intermediate;
 # bounds the superblock screen at very large catalogues (a full
 # (npad, Bsup) ATY is 32GB replicated at the 2M-item north star)
-SCREEN_BYTES = 1 << 31
+import os as _os
+
+SCREEN_BYTES = int(_os.environ.get("SLIM_SCREEN_BYTES", 1 << 31))
 
 
 def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
