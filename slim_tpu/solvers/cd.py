@@ -18,6 +18,7 @@ EPSILON in def.h:14).
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 
@@ -548,17 +549,39 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         logger.info("union widths: %s",
                     " ".join(f"{k}:{v}" for k, v in sorted(hist.items())))
 
-    # phase 2: dispatch all block solves asynchronously; harvest at the
-    # end so the device queue stays full (no host sync between blocks)
-    pending = []
+    # phase 2+3: pipelined solve dispatch + harvest.  Solves are enqueued
+    # one chunk of blocks ahead of the harvest, so chunk g's count fetch,
+    # exact-size flat-pack transfer and host-side model assembly all
+    # overlap the device solving chunk g+1 (the device work queue never
+    # drains, and the harvest/assembly tail shrinks to the last chunk's).
+    #
+    # Harvest: exact-size device-side flat pack.  A concatenated count
+    # fetch synchronizes the chunk's solves, then each block packs its
+    # model entries into a (Tpad,) value + uint16/int32 coordinate pair
+    # and the packs are fetched in a few concatenated transfers (grouped
+    # by pow2 Tpad bucket, and by device in multi-chip mode) on a worker
+    # thread.  The harvest moves exactly ~6 bytes per model nonzero -- no
+    # width-K padding, no top-M overflow refetches -- which matters
+    # because the tunnel's bandwidth (not the solve) can dominate
+    # wide-block harvests.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.cd_kernel import count_over, pack_flat
+
     restored = {}
-    for blk in range(nblocks):
+    total_err = total_obj = 0.0
+    total_niters = 0
+    coord_ids, target_ids, vals = [], [], []
+
+    def dispatch_block(blk):
+        """Enqueue one block's solve; returns (blk, nJ, out, S_host), or
+        None when the block was restored from a checkpoint."""
         if ckpt is not None:
             rec = ckpt.load(blk)
             if rec is not None:
                 restored[blk] = rec
-                pending.append((min(B, n - blk * B), None, None))
-                continue
+                return None
         r0, nJ, Jpad, caps = block_meta(blk)
         x0 = warm_x0(r0, nJ) if use_warm else zeros_x0
         g_blk = g_all[blk % len(g_all)] if g_all is not None else g_dev
@@ -577,73 +600,74 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                     dict(shuffle=cfg.shuffle, impl=im,
                          fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype))
 
-            out = dispatch_split(solve_cols, K)
-            pending.append((nJ, out, union_S_host[blk]))
-        else:
-            def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
-                           g_blk=g_blk):
-                return _solve_ids(
-                    (g_blk, jnp.asarray(Jpad[i:i + b]),
-                     jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
-                     float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                     int(cfg.seed) + blk),
-                    dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
-                         simtype=cfg.simtype, impl=im))
+            return (blk, nJ, dispatch_split(solve_cols, K),
+                    union_S_host[blk])
 
-            out = dispatch_split(solve_cols, npad)
-            pending.append((nJ, out, None))
+        def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
+                       g_blk=g_blk):
+            return _solve_ids(
+                (g_blk, jnp.asarray(Jpad[i:i + b]),
+                 jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
+                 float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
+                 int(cfg.seed) + blk),
+                dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
+                     simtype=cfg.simtype, impl=im))
 
-    _mark("dispatch")
+        return (blk, nJ, dispatch_split(solve_cols, npad), None)
 
-    # Harvest: exact-size device-side flat pack.  One concatenated count
-    # fetch synchronizes all solves, then each block packs its model
-    # entries into a (Tpad,) value + uint16/int32 coordinate pair and the
-    # packs are fetched in a handful of concatenated transfers (grouped by
-    # pow2 Tpad bucket, and by device in multi-chip mode).  The harvest
-    # moves exactly ~6 bytes per model nonzero -- no width-K padding, no
-    # top-M overflow refetches -- which matters because the tunnel's
-    # bandwidth (not the solve) can dominate wide-block harvests.
-    from ..ops.cd_kernel import count_over, pack_flat
+    fetch_pool = ThreadPoolExecutor(1)
 
-    solved = [(blk, nJ, out, S) for blk, (nJ, out, S) in enumerate(pending)
-              if out is not None]
-    by_dev = {}
-    for rec in solved:
-        dev = (next(iter(rec[2][0].devices()))
-               if g_all is not None else None)
-        by_dev.setdefault(dev, []).append(rec)
+    def harvest_chunk(records):
+        """Synchronize a chunk's solves (count fetch), dispatch its flat
+        packs and hand their transfers to the fetch worker.  Returns one
+        pipeline state per device touched by the chunk."""
+        states = []
+        by_dev = {}
+        for rec in records:
+            dev = (next(iter(rec[2][0].devices()))
+                   if g_all is not None else None)
+            by_dev.setdefault(dev, []).append(rec)
+        for dev, group in by_dev.items():
+            cnts = np.asarray(jnp.concatenate(
+                [count_over(out[0], EPSILON) for _, _, out, _ in group]))
+            stats_all = np.asarray(jnp.concatenate(
+                [jnp.stack([out[1].astype(jnp.float32),
+                            out[2].astype(jnp.float32),
+                            out[3], out[4]], axis=1)
+                 for _, _, out, _ in group],
+                axis=0), dtype=np.float64)
 
-    total_err = total_obj = 0.0
-    total_niters = 0
-    coord_ids, target_ids, vals = [], [], []
+            by_T = {}
+            for k, (blk, nJ, out, S_h) in enumerate(group):
+                c = cnts[k * B:(k + 1) * B].copy()
+                c[nJ:] = 0                   # padded columns contribute 0
+                off = np.zeros(B, np.int32)
+                np.cumsum(c[:-1], out=off[1:])
+                T = int(c.sum())
+                Tpad = max(1 << (max(T, 1) - 1).bit_length(), 128)
+                idx16 = int(out[0].shape[1]) <= 65536
+                off_d = jnp.asarray(off) if dev is None \
+                    else jax.device_put(off, dev)
+                fv, fi = pack_flat(out[0], EPSILON, off_d, Tpad, idx16)
+                by_T.setdefault((Tpad, idx16), []).append(
+                    (k, blk, nJ, S_h, c, T, fv, fi))
 
-    for dev, group in by_dev.items():
-        cnts = np.asarray(jnp.concatenate(
-            [count_over(out[0], EPSILON) for _, _, out, _ in group]))
-        stats_all = np.asarray(jnp.concatenate(
-            [jnp.stack([out[1].astype(jnp.float32),
-                        out[2].astype(jnp.float32),
-                        out[3], out[4]], axis=1) for _, _, out, _ in group],
-            axis=0), dtype=np.float64)
+            buckets = list(by_T.items())
+            conc = [(jnp.concatenate([b[6] for b in bl]),
+                     jnp.concatenate([b[7] for b in bl]))
+                    for _, bl in buckets]
+            futs = [fetch_pool.submit(lambda a=va_d, b=ia_d:
+                                      (np.asarray(a), np.asarray(b)))
+                    for (va_d, ia_d) in conc]
+            states.append((futs, buckets, stats_all))
+        return states
 
-        by_T = {}
-        for k, (blk, nJ, out, S_h) in enumerate(group):
-            c = cnts[k * B:(k + 1) * B].copy()
-            c[nJ:] = 0                       # padded columns contribute 0
-            off = np.zeros(B, np.int32)
-            np.cumsum(c[:-1], out=off[1:])
-            T = int(c.sum())
-            Tpad = max(1 << (max(T, 1) - 1).bit_length(), 128)
-            idx16 = int(out[0].shape[1]) <= 65536
-            off_d = jnp.asarray(off) if dev is None \
-                else jax.device_put(off, dev)
-            fv, fi = pack_flat(out[0], EPSILON, off_d, Tpad, idx16)
-            by_T.setdefault((Tpad, idx16), []).append(
-                (k, blk, nJ, S_h, c, T, fv, fi))
-
-        for (Tpad, idx16), bl in by_T.items():
-            va = np.asarray(jnp.concatenate([b[6] for b in bl]))
-            ia = np.asarray(jnp.concatenate([b[7] for b in bl]))
+    def assemble_state(state):
+        """Host-side model assembly for one fetched pipeline state."""
+        nonlocal total_err, total_obj, total_niters
+        futs, buckets, stats_all = state
+        for fut, ((Tpad, idx16), bl) in zip(futs, buckets):
+            va, ia = fut.result()
             for i, (k, blk, nJ, S_h, c, T, _, _) in enumerate(bl):
                 r0 = blk * B
                 niters_h = stats_all[k * B:k * B + nJ, 0]
@@ -678,6 +702,34 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                             "rsd: %.2e obj: %.2e", j, int(nnz_col[j]),
                             int(rstatus_h[b]), int(niters_h[b]),
                             int(c[b]), rnorm_h[b], obj_h[b])
+
+    # pipeline: dispatch chunk g, harvest chunk g-1 (waits only on its
+    # own solves -- chunk g is already queued behind them), assemble any
+    # chunk whose transfers completed.  SLIM_HARVEST_CHUNK=0 restores the
+    # unpipelined dispatch-all-then-harvest behaviour.
+    hchunk = int(os.environ.get("SLIM_HARVEST_CHUNK", "8"))
+    if hchunk <= 0 or g_all is not None:
+        # multi-chip: blocks round-robin the replicas, so chunking by
+        # dispatch order would serialize the devices; harvest everything
+        # at once, split by device inside harvest_chunk
+        hchunk = nblocks
+    chunk_starts = range(0, nblocks, max(hchunk, 1))
+    pendq = deque()      # dispatched chunks awaiting their count fetch
+    inflight = deque()   # harvest states with transfers in the worker
+    for c0 in chunk_starts:
+        recs = [r for r in (dispatch_block(b)
+                            for b in range(c0, min(c0 + hchunk, nblocks)))
+                if r is not None]
+        pendq.append(recs)
+        if len(pendq) >= 2:
+            inflight.extend(harvest_chunk(pendq.popleft()))
+        while inflight and all(f.done() for f in inflight[0][0]):
+            assemble_state(inflight.popleft())
+    while pendq:
+        inflight.extend(harvest_chunk(pendq.popleft()))
+    while inflight:
+        assemble_state(inflight.popleft())
+    fetch_pool.shutdown()
 
     for blk in range(nblocks):
         blk_coord, blk_target, blk_vals, blk_err, blk_obj, blk_nit = \
