@@ -99,7 +99,7 @@ def bench_tpu(train, repeats):
     from slim_tpu.config import SlimConfig
 
     cfg = SlimConfig(l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
-                     block_size=512)
+                     block_size=int(os.environ.get("SLIM_BENCH_BLOCK", "512")))
     t0 = time.perf_counter()
     learn(train, cfg)
     log(f"[bench] warmup learn {time.perf_counter() - t0:.1f}s")

@@ -422,8 +422,12 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         # MXU-friendly for the compact tail blocks.  On TPU the panelized
         # kernel's G-panel stream amortizes over the block: B=512
         # measured 0.0525 ms/col/sweep vs 0.0837 at B=256 (kernel A/B at
-        # the ML-20M shape).
-        B = min(B, 512 if on_tpu else 256)
+        # the ML-20M shape).  SLIM_COMPACT_BMAX overrides the clamp for
+        # block-granularity A/Bs (sub-launch sizes are unaffected --
+        # dispatch_split re-splits to each kernel's envelope).
+        bmax = int(os.environ.get("SLIM_COMPACT_BMAX",
+                                  "512" if on_tpu else "256"))
+        B = min(B, max(bmax, 32))
 
     def pick_impl(width, b):
         """Kernel for a given coordinate width: whole-array Pallas when it
