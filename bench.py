@@ -118,11 +118,13 @@ def bench_predict(train, model, repeats=3):
     device model is built once and held across repeats (the serving
     pattern: one model, many request batches)."""
     from slim_tpu.predict import (SPARSE_PREDICT_THRESHOLD, _bucket,
-                                  densify_model, predict_topn)
+                                  densify_model, predict_topn,
+                                  sparsify_model_device)
 
-    W = None
     if _bucket(train.infer_ncols().ncols) <= SPARSE_PREDICT_THRESHOLD:
         W = densify_model(model)
+    else:
+        W = sparsify_model_device(model)   # resident (Widx, Wval) tuple
     predict_topn(model, train, nrcmds=10, W_dev=W)  # warm (compile)
     best = float("inf")
     for _ in range(repeats):

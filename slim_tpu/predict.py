@@ -266,6 +266,105 @@ def _predict_topn_scan(model, hist, nrcmds, user_block, W, n, npad, prec):
     return ids, scores, counts
 
 
+_predict_scan_sparse_fns: dict = {}
+
+
+def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
+    """One-dispatch sparse predict: a jitted scan over user blocks against
+    the resident padded-row model (:func:`sparsify_model_device`).
+
+    Same flat-CSR history shipping and single result fetch as
+    :func:`_get_predict_scan`, but scores come from a model-row gather +
+    scatter-add instead of an MXU matmul against dense W, so HBM holds
+    nnz·8 model bytes instead of npad²·4 -- the only way a 2M-item
+    catalogue is servable at all (dense W would be 16TB)."""
+    key = (npad, ub, nblocks, P, R, nrcmds, nnz, n)
+    fn = _predict_scan_sparse_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(Widx, Wval, idx, val, indptr, starts):
+            has_val = val.shape[0] == idx.shape[0]
+
+            def body(_, k):
+                s = starts[k]
+                e = s + jnp.arange(P, dtype=jnp.int32)
+                valid = e < starts[k + 1]
+                esafe = jnp.minimum(e, nnz - 1)
+                c = jnp.take(idx, esafe).astype(jnp.int32)
+                u = jnp.searchsorted(indptr, esafe, side="right") \
+                    .astype(jnp.int32) - 1
+                l = jnp.where(valid, u - k * ub, ub)     # OOB pad -> drop
+                cin = valid & (c < n)                    # predict.c:35 guard
+                l = jnp.where(cin, l, ub)
+                v = jnp.where(cin, jnp.take(val, esafe), 0.0) if has_val \
+                    else cin.astype(jnp.float32)
+                csafe = jnp.minimum(c, npad - 1)
+                wrow_i = jnp.take(Widx, csafe, axis=0)          # (P, R)
+                wrow_v = jnp.take(Wval, csafe, axis=0) * v[:, None]
+                lw = jnp.broadcast_to(l[:, None], (P, R))
+                scores = jnp.zeros((ub, npad), jnp.float32).at[
+                    lw.reshape(-1), wrow_i.reshape(-1)].add(
+                    wrow_v.reshape(-1), mode="drop")
+                mask = jnp.zeros((ub, npad), bool).at[l, csafe].max(
+                    cin, mode="drop")
+                scores = jnp.where(mask, NEG_INF, scores)
+                ncand = jnp.sum(scores > 0, axis=1)
+                top_sc, top_id = jax.lax.top_k(scores, nrcmds)
+                counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
+                ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
+                out = jnp.concatenate(
+                    [jnp.where(ok, top_id, -1).astype(jnp.float32),
+                     jnp.where(ok, top_sc, 0.0),
+                     counts.astype(jnp.float32)[:, None]], axis=1)
+                return None, out
+
+            _, outs = jax.lax.scan(body, None,
+                                   jnp.arange(nblocks, dtype=jnp.int32))
+            return outs.reshape(nblocks * ub, 2 * nrcmds + 1)
+
+        fn = _predict_scan_sparse_fns[key] = run
+    return fn
+
+
+def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
+    """Sparse-model predict over all users in one device dispatch."""
+    import jax.numpy as jnp
+
+    Widx, Wval = Wsp
+    R = int(Widx.shape[1])
+    nusers = hist.nrows
+    nblocks = max((nusers + user_block - 1) // user_block, 1)
+    starts = hist.indptr[np.minimum(
+        np.arange(nblocks + 1, dtype=np.int64) * user_block,
+        nusers)].astype(np.int32)
+    P = _pow2ceil(max(int(np.diff(starts).max()) if nblocks else 1, 1))
+    T = _pow2ceil(max(int(hist.nnz), 1))
+    idx = np.full(T, n, np.int32)
+    if hist.nnz:
+        idx[:hist.nnz] = hist.indices
+    if hist.data is None:
+        val = np.zeros(0, np.float32)
+    else:
+        val = np.zeros(T, np.float32)
+        val[:hist.nnz] = hist.values()
+    fn = _get_predict_scan_sparse(npad, user_block, nblocks, P, R, nrcmds,
+                                  T, n)
+    packed = fn(Widx, Wval, jnp.asarray(idx), jnp.asarray(val),
+                jnp.asarray(hist.indptr.astype(np.int32)),
+                jnp.asarray(starts))
+    all_host = np.asarray(packed)[:nusers]
+    ids = all_host[:, :nrcmds].astype(np.int32)
+    scores = all_host[:, nrcmds:2 * nrcmds].astype(np.float32)
+    counts = all_host[:, 2 * nrcmds].astype(np.int32)
+    return ids, scores, counts
+
+
+_sparsify_fns: dict = {}
+
+
 def sparsify_model_device(model: CSR, npad: int | None = None):
     """Padded-row device copy of the model for the large-N predict path.
 
@@ -273,21 +372,47 @@ def sparsify_model_device(model: CSR, npad: int | None = None):
     candidate ids / weights of model row i, padded with (npad-1, 0.0).
     Memory is npad·R·8 bytes instead of npad²·4 -- a 2M-item model with
     ~100 nnz/row fits in ~1.6GB of HBM where the dense copy needs 16TB.
+
+    Built on device from a slim CSR upload (~6-8 bytes/nnz instead of
+    shipping the npad·R·8 host-built arrays through the tunnel): row ids
+    recovered by a searchsorted over the indptr, in-row position by
+    subtracting the row start, then one scatter per output array.
     """
+    import jax
     import jax.numpy as jnp
 
     n = max(model.nrows, model.ncols)
     npad = npad if npad is not None else _bucket(n)
     nnz_row = model.row_nnz().astype(np.int64)
     R = _pow2ceil(max(int(nnz_row.max()) if model.nrows else 1, 1))
-    Widx = np.full((npad, R), npad - 1, dtype=np.int32)
-    Wval = np.zeros((npad, R), dtype=np.float32)
-    rows = np.repeat(np.arange(model.nrows), nnz_row)
-    pos = np.arange(model.nnz) - np.repeat(
-        model.indptr[:-1].astype(np.int64), nnz_row)
-    Widx[rows, pos] = model.indices
-    Wval[rows, pos] = model.values()
-    return jnp.asarray(Widx), jnp.asarray(Wval)
+    T = _pow2ceil(max(int(model.nnz), 1))
+    nrows = model.nrows
+    key = (npad, R, T, nrows)
+    fn = _sparsify_fns.get(key)
+    if fn is None:
+        @jax.jit
+        def build(idx, val, indptr):
+            e = jnp.arange(T, dtype=jnp.int32)
+            rows = jnp.searchsorted(indptr, e, side="right") \
+                .astype(jnp.int32) - 1
+            live = e < indptr[nrows]
+            rows_s = jnp.where(live, rows, npad)     # pads -> OOB, dropped
+            pos = e - jnp.take(indptr, jnp.clip(rows, 0, nrows))
+            Wi = jnp.full((npad, R), npad - 1, jnp.int32).at[
+                rows_s, pos].set(idx.astype(jnp.int32), mode="drop",
+                                 unique_indices=True)
+            Wv = jnp.zeros((npad, R), jnp.float32).at[
+                rows_s, pos].set(val, mode="drop", unique_indices=True)
+            return Wi, Wv
+
+        fn = _sparsify_fns[key] = build
+    dt = np.uint16 if npad <= 65536 else np.int32
+    idx = np.full(T, npad - 1, dtype=dt)
+    idx[:model.nnz] = model.indices
+    val = np.zeros(T, np.float32)
+    val[:model.nnz] = model.values()
+    return fn(jnp.asarray(idx), jnp.asarray(val),
+              jnp.asarray(model.indptr.astype(np.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=("nrcmds",))
@@ -339,18 +464,25 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
     if sparse is None:
-        sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+        sparse = (isinstance(W_dev, tuple)
+                  or (W_dev is None and npad > SPARSE_PREDICT_THRESHOLD))
     if not sparse and (scan or (scan is None
                                 and hist.nrows > 4 * user_block)):
         W = W_dev if W_dev is not None else densify_model(model, npad)
         return _predict_topn_scan(model, hist, nrcmds, user_block, W, n,
                                   npad, _score_precision(npad, precision))
     if sparse:
-        Wsp = sparsify_model_device(model, npad)
+        # a resident padded-row model may be passed through W_dev as the
+        # (Widx, Wval) tuple (the serving pattern: sparsify once)
+        Wsp = W_dev if isinstance(W_dev, tuple) \
+            else sparsify_model_device(model, npad)
         # per-user dense score rows are the only O(n) object: size the
         # user block so a block's scores stay within ~256MB of HBM
         user_block = min(user_block,
                          max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+        if scan or (scan is None and hist.nrows > 4 * user_block):
+            return _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp,
+                                             n, npad)
     else:
         W = W_dev if W_dev is not None else densify_model(model, npad)
 

@@ -209,3 +209,28 @@ def test_predict_sparse_200k_item_catalogue():
         top_ref = np.sort(s)[::-1][:k]
         np.testing.assert_allclose(np.sort(scores[u][:k])[::-1], top_ref,
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_predict_sparse_scan_matches_block(rng):
+    """The one-dispatch sparse scan path must reproduce the per-block
+    sparse path (same gather/scatter-add math, different orchestration),
+    for explicit and implicit histories, a non-multiple user count, and a
+    resident (Widx, Wval) model passed through W_dev."""
+    from slim_tpu.predict import sparsify_model_device
+
+    model = random_csr(rng, 60, 60, density=0.2, seed=240)
+    Wsp = sparsify_model_device(model)
+    for implicit, seed in ((False, 241), (True, 242)):
+        hist = random_csr(rng, 53, 60, density=0.2, implicit=implicit,
+                          seed=seed)
+        bi, bsc, bc = predict_topn(model, hist, nrcmds=7, sparse=True,
+                                   scan=False)
+        si, ssc, sc = predict_topn(model, hist, nrcmds=7, W_dev=Wsp,
+                                   scan=True, user_block=16)
+        np.testing.assert_array_equal(bc, sc)
+        for u in range(hist.nrows):
+            k = bc[u]
+            assert set(bi[u][:k]) == set(si[u][:k]), u
+            np.testing.assert_allclose(np.sort(bsc[u][:k]),
+                                       np.sort(ssc[u][:k]),
+                                       rtol=1e-5, atol=1e-6)
