@@ -15,6 +15,7 @@ predict.c:62).  With nonnegative models and ratings this is equivalent to
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import numpy as np
@@ -476,13 +477,21 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
         # (Widx, Wval) tuple (the serving pattern: sparsify once)
         Wsp = W_dev if isinstance(W_dev, tuple) \
             else sparsify_model_device(model, npad)
+        if scan or (scan is None and hist.nrows > 4 * user_block):
+            # inside the scan only ONE score block is live (XLA reuses
+            # the buffer across steps), so the per-block byte budget can
+            # be much larger than the async per-block path below, where
+            # dispatched blocks pile up in flight; bigger blocks = fewer
+            # top-k passes per served user
+            ub_scan = min(user_block * 8, max(8, _pow2ceil(int(
+                int(os.environ.get("SLIM_PREDICT_SCAN_BYTES", 1 << 30))
+                / (npad * 4) + 1)) // 2))
+            return _predict_topn_scan_sparse(hist, nrcmds, ub_scan, Wsp,
+                                             n, npad)
         # per-user dense score rows are the only O(n) object: size the
         # user block so a block's scores stay within ~256MB of HBM
         user_block = min(user_block,
                          max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
-        if scan or (scan is None and hist.nrows > 4 * user_block):
-            return _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp,
-                                             n, npad)
     else:
         W = W_dev if W_dev is not None else densify_model(model, npad)
 
