@@ -227,17 +227,22 @@ class SLIM:
 
     # ------------------------------------------------------------------ #
     def mselect(self, params, trndata: SLIMatrix, tstdata: SLIMatrix,
-                arrayl1, arrayl2, nrcmds: int = 10):
+                arrayl1, arrayl2, nrcmds: int = 10, parallel: bool = False):
         """Grid search over the l1×l2 cross product with warm starts
         (Py_SLIM_Mselect, pyapi.c:214-412).  Trains on the best-HR config
-        and keeps that model.  Returns the result dict."""
+        and keeps that model.  Returns the result dict.
+
+        ``parallel=True`` solves every grid point in one batched pass
+        (per-column regularisation in the kernels) instead of the
+        warm-started walk -- a TPU-native extension, see mselect_grid."""
         from .mselect import mselect_grid
 
         cfg = params if isinstance(params, SlimConfig) else \
             SlimConfig.from_dict(params)
         cfg = cfg.replace(nrcmds=nrcmds)
         res = mselect_grid(trndata.mat, tstdata.mat, cfg,
-                           sorted(arrayl1), sorted(arrayl2))
+                           sorted(arrayl1), sorted(arrayl2),
+                           parallel=parallel)
         self.model = res["best_model_hr"]
         self.stats = None
         self.nItems = trndata.nItems
