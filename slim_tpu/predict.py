@@ -267,6 +267,30 @@ def _predict_topn_scan(model, hist, nrcmds, user_block, W, n, npad, prec):
     return ids, scores, counts
 
 
+def _topk_wide(scores, k):
+    """Exact top-k over very wide score rows via two stages: per-chunk
+    top-k then top-k over the C·k chunk winners (any global top-k element
+    is inside its chunk's top-k, so the composition is exact; tie order
+    may differ from a single pass, matching the reference's unstable
+    sorts).  A (U, 2M) single-pass top-k makes XLA sort the whole row;
+    the chunked form keeps each sort window small.  SLIM_TOPK_CHUNK
+    overrides the chunk width (0 disables the two-stage form)."""
+    import jax
+    import jax.numpy as jnp
+
+    U, npad = scores.shape
+    chunk = int(os.environ.get("SLIM_TOPK_CHUNK", "32768"))
+    if chunk <= 0 or npad < 2 * chunk or npad % chunk or k > chunk:
+        return jax.lax.top_k(scores, k)
+    C = npad // chunk
+    loc_sc, loc_id = jax.lax.top_k(scores.reshape(U, C, chunk), k)
+    base = (jnp.arange(C, dtype=jnp.int32) * chunk)[None, :, None]
+    flat_sc = loc_sc.reshape(U, C * k)
+    flat_id = (loc_id.astype(jnp.int32) + base).reshape(U, C * k)
+    top_sc, pos = jax.lax.top_k(flat_sc, k)
+    return top_sc, jnp.take_along_axis(flat_id, pos, axis=1)
+
+
 _predict_scan_sparse_fns: dict = {}
 
 
@@ -313,7 +337,7 @@ def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
                     cin, mode="drop")
                 scores = jnp.where(mask, NEG_INF, scores)
                 ncand = jnp.sum(scores > 0, axis=1)
-                top_sc, top_id = jax.lax.top_k(scores, nrcmds)
+                top_sc, top_id = _topk_wide(scores, nrcmds)
                 counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
                 ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
                 out = jnp.concatenate(
@@ -438,7 +462,7 @@ def _score_topn_block_sparse(Widx, Wval, hist_idx, hist_val, nrcmds):
         jnp.arange(U)[:, None], safe_idx].max(hist_idx >= 0)
     scores = jnp.where(mask, NEG_INF, scores)
     ncand = jnp.sum(scores > 0, axis=1)
-    top_scores, top_ids = jax.lax.top_k(scores, nrcmds)
+    top_scores, top_ids = _topk_wide(scores, nrcmds)
     counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
     valid = jnp.arange(nrcmds)[None, :] < counts[:, None]
     top_ids = jnp.where(valid, top_ids, -1)

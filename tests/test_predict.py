@@ -195,6 +195,17 @@ def test_predict_sparse_200k_item_catalogue():
 
     ids, scores, counts = predict_topn(model, hist, nrcmds=10, sparse=True,
                                        user_block=16)
+    # one-dispatch scan path (+ the two-stage wide top-k it engages at
+    # this npad) must agree with the per-block path checked below
+    si, ssc, sc = predict_topn(model, hist, nrcmds=10, sparse=True,
+                               user_block=16, scan=True)
+    np.testing.assert_array_equal(counts, sc)
+    for u in range(nusers):
+        k = int(counts[u])
+        assert set(ids[u][:k]) == set(si[u][:k]), u
+        np.testing.assert_allclose(np.sort(scores[u][:k]),
+                                   np.sort(ssc[u][:k]), rtol=1e-5,
+                                   atol=1e-6)
 
     W = sp.csr_matrix((model.values(), model.indices, model.indptr),
                       shape=(n, n))
