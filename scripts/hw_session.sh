@@ -1,0 +1,35 @@
+#!/bin/bash
+# Pending real-TPU measurements, one command, each under timeout.
+# Run when the device answers (scripts/../tests pass CPU-side already):
+#   bash scripts/hw_session.sh 2>&1 | tee /tmp/hw_session.log
+# Order: cheapest/highest-value first; a wedged step can't block the rest.
+set -x
+cd "$(dirname "$0")/.."
+
+# 0. device smoke
+timeout 120 python -c "import time,jax,jax.numpy as jnp; t0=time.perf_counter(); print('ALIVE', float(jnp.sum(jnp.ones((8,8)))), f'{time.perf_counter()-t0:.1f}s')" || exit 1
+
+# 1. headline ML-20M bench (learn + predict vs cached native baseline);
+#    also validates the new pipelined harvest on hardware
+timeout 3000 python bench.py 2>/tmp/hw_bench.err; tail -5 /tmp/hw_bench.err
+
+# 2. harvest-pipeline A/B (same bench, pipeline off)
+SLIM_HARVEST_CHUNK=0 SLIM_BENCH_REPS=1 timeout 1800 python bench.py 2>/tmp/hw_bench_nopipe.err
+
+# 3. large-catalogue predict (262k items, 100k users) vs native CPU
+timeout 2400 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predict.err; tail -3 /tmp/hw_predict.err
+
+# 3b. single-pass top-k A/B on the same workload
+SLIM_TOPK_CHUNK=0 SLIM_BENCH_REPS=1 timeout 1800 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predict_nochunk.err
+
+# 4. v3 vs v4 transposed-kernel A/B at the ML-20M head-block shape
+#    (one config at a time per the verify skill's device discipline)
+SLIM_AB_V3=1 timeout 2400 python scripts/kernel_ab.py 2>/tmp/hw_v3.err; tail -3 /tmp/hw_v3.err
+SLIM_AB_V4=1 timeout 2400 python scripts/kernel_ab.py 2>/tmp/hw_v4.err; tail -3 /tmp/hw_v4.err
+
+# 5. block-size A/B at ML-20M (B=1024 union/harvest granularity)
+SLIM_BENCH_BLOCK=1024 SLIM_COMPACT_BMAX=1024 SLIM_BENCH_REPS=1 \
+  timeout 2400 python bench.py 2>/tmp/hw_b1024.err
+
+# 6. ADMM on the MXU at its native regime
+timeout 1800 python scripts/admm_bench.py 2>/tmp/hw_admm.err; tail -3 /tmp/hw_admm.err
