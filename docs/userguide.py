@@ -111,10 +111,19 @@ print("objective:", stats["loss"])
 # of column blocks), profile_dir (jax.profiler trace): see SlimConfig.
 mdl2, _ = learn(train_csr, SlimConfig(l1r=0.5, l2r=1.0, gram="device"))
 
-# Large catalogues: beyond 16384 items predict_topn switches to a
+# Large catalogues: beyond 36864 items predict_topn switches to a
 # padded-sparse device model automatically (HBM = n*R*8 bytes instead of
 # n^2*4); force either path with sparse=True/False.
 ids2, _, _ = predict_topn(mdl2, train_csr, nrcmds=10, sparse=True)
+
+# Serving pattern (one model, many request batches): build the device
+# model once and pass it back in -- predict_topn then runs one lax.scan
+# dispatch over all user blocks (host round trips don't scale with the
+# user count).  For sparse catalogues the resident model is the
+# (Widx, Wval) tuple; for dense ones, the densified W.
+from slim_tpu.predict import sparsify_model_device
+Wsp = sparsify_model_device(mdl2)
+ids3, _, _ = predict_topn(mdl2, train_csr, nrcmds=10, W_dev=Wsp, scan=True)
 
 # Native CPU predict (serving small catalogues; same scoring semantics):
 from slim_tpu import native
