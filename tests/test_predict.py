@@ -245,3 +245,36 @@ def test_predict_sparse_scan_matches_block(rng):
             np.testing.assert_allclose(np.sort(bsc[u][:k]),
                                        np.sort(ssc[u][:k]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_predict_power_user_skewed_history(rng):
+    """One power user whose history covers most of the catalogue (the
+    round-1 OOM shape: max row nnz sets H for everyone) must not distort
+    anyone's results, on every orchestration path."""
+    import scipy.sparse as sp
+
+    n, nusers = 300, 40
+    model = random_csr(rng, n, n, density=0.05, seed=260)
+    hr = [0] * (n - 10) + list(np.repeat(np.arange(1, nusers), 5))
+    hc = list(range(n - 10)) + list(rng.integers(0, n, 5 * (nusers - 1)))
+    hist = CSR.from_ijv(np.asarray(hr), np.asarray(hc),
+                        np.ones(len(hr), np.float32), nusers, n).binarize()
+
+    W = sp.csr_matrix((model.values(), model.indices, model.indptr),
+                      shape=(n, n))
+    H = sp.csr_matrix((hist.values(), hist.indices, hist.indptr),
+                      shape=(nusers, n))
+    S = np.asarray((H @ W).todense())
+
+    for kw in (dict(sparse=False, scan=False), dict(sparse=False, scan=True),
+               dict(sparse=True, scan=False), dict(sparse=True, scan=True)):
+        ids, scores, counts = predict_topn(model, hist, nrcmds=10,
+                                           user_block=16, **kw)
+        for u in range(nusers):
+            s = S[u].copy()
+            s[hist.indices[hist.indptr[u]:hist.indptr[u + 1]]] = -np.inf
+            k = int(counts[u])
+            assert k == min(10, int((s > 0).sum())), (kw, u)
+            np.testing.assert_allclose(
+                np.sort(scores[u][:k])[::-1], np.sort(s)[::-1][:k],
+                rtol=1e-5, atol=1e-5, err_msg=str((kw, u)))
