@@ -268,6 +268,10 @@ def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
     key = (id(mesh), rb, npad, chunk, l1r)
     fn = _screen_flags_fns.get(key)
     if fn is None:
+        ndev = mesh.size
+        mp_size = mesh.shape["mp"]
+        scatter_rows = npad % ndev == 0
+
         def screen_f(lr, cc, vv, jarr):
             jl = jnp.full((npad,), chunk, jnp.int32).at[jarr].set(
                 jnp.arange(chunk, dtype=jnp.int32))
@@ -284,6 +288,20 @@ def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
 
             aty0 = jnp.zeros((npad, chunk), jnp.float32)
             aty, _ = jax.lax.scan(body, aty0, (lr, cc, vv))
+            if scatter_rows:
+                # reduce-scatter over item rows + local threshold: ring
+                # traffic ~(N-1)/N of the buffer and no (npad, chunk)
+                # replica materialized per device (the psum form writes
+                # ndev full copies); the (npad,) bool flags reassemble
+                # through the sharded out_spec below
+                aty = jax.lax.psum_scatter(aty, ("dp", "mp"),
+                                           scatter_dimension=0, tiled=True)
+                fidx = (jax.lax.axis_index("dp") * mp_size
+                        + jax.lax.axis_index("mp"))
+                rows = (fidx * (npad // ndev)
+                        + jnp.arange(npad // ndev, dtype=jnp.int32))
+                active = (aty > l1r) & (rows[:, None] != jarr[None, :])
+                return jnp.any(active, axis=1)
             aty = jax.lax.psum(aty, ("dp", "mp"))
             rows = jnp.arange(npad, dtype=jnp.int32)
             active = (aty > l1r) & (rows[:, None] != jarr[None, :])
@@ -292,7 +310,8 @@ def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
         spec = P(("dp", "mp"), None)
         fn = jax.jit(shard_map(
             screen_f, mesh=mesh, in_specs=(spec, spec, spec, P(None)),
-            out_specs=P(None), check_vma=False))
+            out_specs=P(("dp", "mp")) if scatter_rows else P(None),
+            check_vma=False))
         _screen_flags_fns[key] = fn
     return fn
 
