@@ -32,6 +32,10 @@ if os.environ.get("JAX_PLATFORMS"):
 
 
 def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(message)s")
     import jax
 
     from slim_tpu.config import SlimConfig

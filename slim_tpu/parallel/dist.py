@@ -37,6 +37,10 @@ except AttributeError:  # pragma: no cover
 from ..ops.cd_kernel import cd_solve_block
 from ..types import CSR
 
+import logging
+
+logger = logging.getLogger("slim_tpu")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -486,7 +490,10 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
     total_niters = 0
     coord_ids, target_ids, out_vals = [], [], []
 
+    import time as _time
+
     for s0 in range(0, n_eff, Bsup):
+        _t0 = _time.perf_counter()
         nJ = min(Bsup, n_eff - s0)
         jarr = np.full(Bsup, npad - 1, dtype=np.int32)
         jarr[:nJ] = np.arange(s0, s0 + nJ, dtype=np.int32)
@@ -494,6 +501,7 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
         caps[:nJ] = caps_p[s0:s0 + nJ]
 
         flags_h, aty = flags_cb(jarr, nJ)
+        _t_screen = _time.perf_counter()
         ids = np.nonzero(flags_h)[0]
         # S must contain the targets (the solve reads gj at the target's
         # compact position); the self column stays inactive via the mask
@@ -548,6 +556,11 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
         total_err += float(st[:, 0].sum())
         total_obj += float(st[:, 1].sum())
         total_niters += int(st[:, 2].sum())
+        _t_end = _time.perf_counter()
+        logger.info(
+            "superblock %d/%d: K=%d screen %.2fs solve+harvest %.2fs",
+            s0 // Bsup + 1, (n_eff + Bsup - 1) // Bsup, K,
+            _t_screen - _t0, _t_end - _t_screen)
 
     model = CSR.from_ijv(
         np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
