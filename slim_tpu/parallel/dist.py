@@ -535,12 +535,14 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
             gjs = jnp.take(Gs, jnp.asarray(posj.astype(np.int32)),
                            axis=1).T                      # (Bsup, K)
         yty = jnp.take(diag_dev, jax.device_put(jarr, repl))
+        # gjs/yty live replicated on device; device_put re-shards them
+        # over the column grid without a host round trip
         x, niters, rstatus, rnorm, obj = solve_fn(
-            Gs, jax.device_put(np.asarray(gjs), cols2_spec),
+            Gs, jax.device_put(gjs, cols2_spec),
             jax.device_put(jarr, cols_spec),
             jax.device_put(caps, cols_spec),
             jax.device_put(x0_host, cols2_spec), S_dev,
-            jax.device_put(np.asarray(yty), cols_spec),
+            jax.device_put(yty, cols_spec),
             int(cfg.seed) + s0 // Bsup)
 
         x_h = np.asarray(x)[:nJ]
