@@ -95,11 +95,18 @@ def workload_sig(train):
 
 
 def bench_tpu(train, repeats):
-    from slim_tpu.api import learn
-    from slim_tpu.config import SlimConfig
+    import logging
 
+    from slim_tpu.api import learn
+    from slim_tpu.config import SlimConfig, SLIM_DBG_TIME
+
+    # phase timings (gram/unions/solve+harvest/assembly) to stderr so a
+    # recorded bench run carries its own breakdown
+    logging.basicConfig(level=logging.INFO,
+                        format="[bench] %(message)s", stream=sys.stderr)
     cfg = SlimConfig(l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
-                     block_size=int(os.environ.get("SLIM_BENCH_BLOCK", "512")))
+                     block_size=int(os.environ.get("SLIM_BENCH_BLOCK", "512")),
+                     dbglvl=SLIM_DBG_TIME)
     t0 = time.perf_counter()
     learn(train, cfg)
     log(f"[bench] warmup learn {time.perf_counter() - t0:.1f}s")

@@ -745,7 +745,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         total_obj += blk_obj
         total_niters += blk_nit
 
-    _mark("harvest")
+    _mark("solve+harvest")
 
     # assemble the model CSR (SaveModel, estimate.c:570-593)
     model = CSR.from_ijv(
