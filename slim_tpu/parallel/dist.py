@@ -662,11 +662,14 @@ _g_gather_fns: dict = {}
 
 
 def _get_gram_colblock(mesh: Mesh, rb: int, W_tot: int, width: int):
-    """Jitted SPMD fn(lr, cc, vv, c0) -> G[:, c0:c0+width] replicated.
+    """Jitted SPMD fn(lr, cc, vv, c0) -> G[:, c0:c0+width] row-sharded.
     Every device scatter-densifies its row blocks at full width and
-    multiplies against the dynamic column slice on its MXU; the psum
-    completes the column block.  Called once per device column block at
-    setup (total FLOPs = one full Gram, split over the grid)."""
+    multiplies against the dynamic column slice on its MXU; a
+    reduce-scatter over item rows completes the column block, leaving
+    tile G[rows_d, c0:c0+width] on device d (ring traffic ~(N-1)/N of
+    one buffer, nothing replicated).  Called once per device column
+    block at setup (total FLOPs = one full Gram, split over the grid);
+    the caller reassembles COLUMN shards from the tiles by symmetry."""
     key = (id(mesh), rb, W_tot, width)
     fn = _gram_colblock_fns.get(key)
     if fn is None:
@@ -682,12 +685,13 @@ def _get_gram_colblock(mesh: Mesh, rb: int, W_tot: int, width: int):
 
             g0 = jnp.zeros((W_tot, width), jnp.float32)
             g, _ = jax.lax.scan(body, g0, (lr, cc, vv))
-            return jax.lax.psum(g, ("dp", "mp"))
+            return jax.lax.psum_scatter(g, ("dp", "mp"),
+                                        scatter_dimension=0, tiled=True)
 
         spec = P(("dp", "mp"), None)
         fn = jax.jit(shard_map(
             gramb, mesh=mesh, in_specs=(spec, spec, spec, P()),
-            out_specs=P(None, None), check_vma=False))
+            out_specs=P(("dp", "mp"), None), check_vma=False))
         _gram_colblock_fns[key] = fn
     return fn
 
@@ -802,16 +806,23 @@ def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
         float(cfg.optTol), cfg.shuffle, 0, cfg.simtype)
     diag_dev = diag_fn(lr_d, cc_d, vv_d)
 
-    # build the resident sharded G, one column block per device
+    # build the resident sharded G, one column block per device: call e
+    # leaves tile G[rows_d, block_e] on device d (reduce-scatter over
+    # rows); device d's COLUMN shard G[:, block_d] is the stack of its
+    # tiles transposed -- G is symmetric, so G[block_e, block_d] =
+    # G[block_d, block_e]^T (bitwise: both entries are the same
+    # fixed-order MXU contraction).  Nothing is ever replicated.
     W_tot = _round_up(npad, ndev)
     width = W_tot // ndev
     gramb_fn = _get_gram_colblock(mesh, row_block, W_tot, width)
-    shards = []
     devs = list(mesh.devices.flat)
+    tiles = [[None] * ndev for _ in range(ndev)]      # tiles[d][e]
     for e in range(ndev):
         ge = gramb_fn(lr_d, cc_d, vv_d, np.int32(e * width))
-        shards.append(next(s.data for s in ge.addressable_shards
-                           if s.device == devs[e]))
+        for s in ge.addressable_shards:
+            tiles[s.index[0].start // width][e] = s.data
+    shards = [jnp.concatenate([t.T for t in tiles[d]], axis=0)
+              for d in range(ndev)]
     G_sh = jax.make_array_from_single_device_arrays(
         (W_tot, W_tot), NamedSharding(mesh, P(None, ("dp", "mp"))), shards)
 
