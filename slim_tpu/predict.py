@@ -354,12 +354,126 @@ def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
     return fn
 
 
+_predict_scan_coo_fns: dict = {}
+
+# above this catalogue size the per-user dense score rows of the sparse
+# scan cost O(npad) writes + top-k per user; the COO path below costs
+# O(history·R·log) per user independent of npad.  Overridable; 0 = off.
+COO_PREDICT_NPAD = 1 << 19
+
+
+def _get_predict_scan_coo(npad, ub, nblocks, P, R, nrcmds, nnz, n):
+    """One-dispatch sparse predict that never materializes an npad-wide
+    score row: each block's (history entry, model row) pairs become a
+    flat COO list keyed by user·npad + candidate, one sort groups the
+    duplicates, a segment scatter-add produces the per-(user, candidate)
+    sums (exact f32, same accumulation as the dense path), and a second
+    sort by (user, -sum) yields every user's candidates in score order,
+    from which the static top-k is a contiguous gather.  History
+    exclusion rides the same machinery as a -1e30 pair (the run sum goes
+    negative, and negative scores are never counted or kept --
+    predict.c:33-37's marker).  Work per block is O(P·R·log) independent
+    of the catalogue size -- the regime where 2M-item serving is
+    competitive."""
+    key = (npad, ub, nblocks, P, R, nrcmds, nnz, n)
+    fn = _predict_scan_coo_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        N = P * (R + 1)
+        SENT = ub * npad                  # caller guarantees < 2^31
+        assert SENT < 2 ** 31
+
+        @jax.jit
+        def run(Widx, Wval, idx, val, indptr, starts):
+            has_val = val.shape[0] == idx.shape[0]
+
+            def body(_, k):
+                s = starts[k]
+                e = s + jnp.arange(P, dtype=jnp.int32)
+                valid = e < starts[k + 1]
+                esafe = jnp.minimum(e, nnz - 1)
+                c = jnp.take(idx, esafe).astype(jnp.int32)
+                u = jnp.searchsorted(indptr, esafe, side="right") \
+                    .astype(jnp.int32) - 1
+                l = u - k * ub
+                cin = valid & (c < n)                # predict.c:35 guard
+                v = jnp.where(cin, jnp.take(val, esafe), 0.0) if has_val \
+                    else cin.astype(jnp.float32)
+                csafe = jnp.minimum(c, npad - 1)
+                wri = jnp.take(Widx, csafe, axis=0)           # (P, R)
+                wrv = jnp.take(Wval, csafe, axis=0) * v[:, None]
+                key_m = jnp.where(cin[:, None],
+                                  l[:, None] * npad + wri, SENT)
+                val_m = jnp.where(cin[:, None], wrv, 0.0)
+                key_h = jnp.where(cin, l * npad + csafe, SENT)
+                val_h = jnp.where(cin, jnp.float32(-1e30), 0.0)
+
+                keys = jnp.concatenate([key_m.reshape(-1), key_h])
+                vals = jnp.concatenate([val_m.reshape(-1), val_h])
+                keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+
+                newrun = keys[1:] != keys[:-1]
+                start = jnp.concatenate([jnp.ones((1,), bool), newrun])
+                is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
+                run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+                rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
+                rsum = jnp.take(rs, run_id)     # run total at every element
+                real = keys < SENT
+
+                end_real = is_end & real
+                u_run = jnp.where(end_real, keys // npad, ub)
+                negs = jnp.where(end_real, -rsum, jnp.inf)
+                cand = jnp.where(end_real, keys % npad, npad - 1)
+                u_s, ns_s, cd_s = jax.lax.sort((u_run, negs, cand),
+                                               num_keys=2)
+
+                pos = jnp.searchsorted(
+                    u_s, jnp.arange(ub + 1, dtype=jnp.int32)
+                ).astype(jnp.int32)
+                take = pos[:-1, None] + jnp.arange(nrcmds,
+                                                   dtype=jnp.int32)[None, :]
+                inuser = take < pos[1:, None]
+                takes = jnp.minimum(take, N - 1)
+                top_sc = jnp.where(inuser, -jnp.take(ns_s, takes), 0.0)
+                top_id = jnp.where(inuser, jnp.take(cd_s, takes), -1)
+
+                nc = jnp.zeros((ub + 1,), jnp.int32).at[u_run].add(
+                    (end_real & (rsum > 0)).astype(jnp.int32))
+                counts = jnp.minimum(nc[:ub], nrcmds)
+                ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
+                out = jnp.concatenate(
+                    [jnp.where(ok, top_id, -1).astype(jnp.float32),
+                     jnp.where(ok, top_sc, 0.0),
+                     counts.astype(jnp.float32)[:, None]], axis=1)
+                return None, out
+
+            _, outs = jax.lax.scan(body, None,
+                                   jnp.arange(nblocks, dtype=jnp.int32))
+            return outs.reshape(nblocks * ub, 2 * nrcmds + 1)
+
+        fn = _predict_scan_coo_fns[key] = run
+    return fn
+
+
 def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
-    """Sparse-model predict over all users in one device dispatch."""
+    """Sparse-model predict over all users in one device dispatch.
+
+    Catalogues at/above SLIM_PREDICT_COO_NPAD (default 2^19) route to the
+    COO segment-top-k kernel, whose per-user cost is independent of the
+    catalogue size; smaller ones use the dense-score-row scan."""
     import jax.numpy as jnp
 
     Widx, Wval = Wsp
     R = int(Widx.shape[1])
+    coo_npad = int(os.environ.get("SLIM_PREDICT_COO_NPAD",
+                                  COO_PREDICT_NPAD))
+    use_coo = coo_npad > 0 and npad >= coo_npad
+    if use_coo:
+        # the COO sort key is user_local * npad + candidate in int32
+        while user_block > 8 and user_block * npad >= 2 ** 31:
+            user_block //= 2
     nusers = hist.nrows
     nblocks = max((nusers + user_block - 1) // user_block, 1)
     starts = hist.indptr[np.minimum(
@@ -375,8 +489,8 @@ def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
     else:
         val = np.zeros(T, np.float32)
         val[:hist.nnz] = hist.values()
-    fn = _get_predict_scan_sparse(npad, user_block, nblocks, P, R, nrcmds,
-                                  T, n)
+    get = _get_predict_scan_coo if use_coo else _get_predict_scan_sparse
+    fn = get(npad, user_block, nblocks, P, R, nrcmds, T, n)
     packed = fn(Widx, Wval, jnp.asarray(idx), jnp.asarray(val),
                 jnp.asarray(hist.indptr.astype(np.int32)),
                 jnp.asarray(starts))

@@ -278,3 +278,64 @@ def test_predict_power_user_skewed_history(rng):
             np.testing.assert_allclose(
                 np.sort(scores[u][:k])[::-1], np.sort(s)[::-1][:k],
                 rtol=1e-5, atol=1e-5, err_msg=str((kw, u)))
+
+
+def test_predict_coo_scan_matches_block(rng, monkeypatch):
+    """The COO segment-top-k scan (no npad-wide score rows) must match the
+    per-block sparse path on ids/counts and scores, including history
+    exclusion, implicit histories, empty-history users and score ties."""
+    from slim_tpu.predict import sparsify_model_device
+
+    monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "1")   # force COO
+    model = random_csr(rng, 70, 70, density=0.15, seed=270)
+    Wsp = sparsify_model_device(model)
+    for implicit, seed in ((False, 271), (True, 272)):
+        hist = random_csr(rng, 45, 70, density=0.15, implicit=implicit,
+                          seed=seed)
+        bi, bsc, bc = predict_topn(model, hist, nrcmds=7, sparse=True,
+                                   scan=False)
+        si, ssc, sc = predict_topn(model, hist, nrcmds=7, W_dev=Wsp,
+                                   scan=True, user_block=16)
+        np.testing.assert_array_equal(bc, sc)
+        for u in range(hist.nrows):
+            k = bc[u]
+            assert set(bi[u][:k]) == set(si[u][:k]), (implicit, u)
+            np.testing.assert_allclose(np.sort(bsc[u][:k]),
+                                       np.sort(ssc[u][:k]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_predict_coo_scan_200k_oracle(monkeypatch):
+    """COO path at a large catalogue vs the scipy oracle (same workload as
+    test_predict_sparse_200k_item_catalogue)."""
+    import scipy.sparse as sp
+
+    monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "1")
+    n, nusers = 200_000, 64
+    rng = np.random.default_rng(400)
+    nnz_m = 12 * n
+    mr = rng.integers(0, n, nnz_m)
+    mc = rng.integers(0, n, nnz_m)
+    mv = rng.random(nnz_m, dtype=np.float32) + 0.01
+    model = CSR.from_ijv(mr, mc, mv, nrows=n, ncols=n)
+    hr = np.repeat(np.arange(nusers), 20)
+    hc = rng.integers(0, n, hr.size)
+    hist = CSR.from_ijv(hr, hc, np.ones(hr.size, np.float32),
+                        nrows=nusers, ncols=n)
+
+    ids, scores, counts = predict_topn(model, hist, nrcmds=10, sparse=True,
+                                       user_block=16, scan=True)
+
+    W = sp.csr_matrix((model.values(), model.indices, model.indptr),
+                      shape=(n, n))
+    H = sp.csr_matrix((hist.values(), hist.indices, hist.indptr),
+                      shape=(nusers, n))
+    S = np.asarray((H @ W).todense())
+    for u in range(nusers):
+        s = S[u].copy()
+        s[hist.indices[hist.indptr[u]:hist.indptr[u + 1]]] = -np.inf
+        k = int(counts[u])
+        assert k == min(10, int((s > 0).sum())), u
+        np.testing.assert_allclose(np.sort(scores[u][:k])[::-1],
+                                   np.sort(s)[::-1][:k],
+                                   rtol=1e-4, atol=1e-4)
