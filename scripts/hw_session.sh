@@ -22,6 +22,11 @@ timeout 2400 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predi
 # 3b. single-pass top-k A/B on the same workload
 SLIM_TOPK_CHUNK=0 SLIM_BENCH_REPS=1 timeout 1800 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predict_nochunk.err
 
+# 3c. 2M-item serving: COO segment-top-k kernel (default there) vs the
+#     dense-score-row scan
+timeout 2400 python scripts/predict_large_bench.py 2000000 20000 2>/tmp/hw_predict2m.err; tail -3 /tmp/hw_predict2m.err
+SLIM_PREDICT_COO_NPAD=0 SLIM_BENCH_REPS=1 timeout 2400 python scripts/predict_large_bench.py 2000000 20000 2>/tmp/hw_predict2m_dense.err
+
 # 4. v3 vs v4 transposed-kernel A/B at the ML-20M head-block shape
 #    (one config at a time per the verify skill's device discipline)
 SLIM_AB_V3=1 timeout 2400 python scripts/kernel_ab.py 2>/tmp/hw_v3.err; tail -3 /tmp/hw_v3.err
