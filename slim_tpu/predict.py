@@ -472,8 +472,7 @@ def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
     use_coo = coo_npad > 0 and npad >= coo_npad
     if use_coo:
         # the COO sort key is user_local * npad + candidate in int32
-        while user_block > 8 and user_block * npad >= 2 ** 31:
-            user_block //= 2
+        user_block = _coo_user_block(user_block, npad)
     nusers = hist.nrows
     nblocks = max((nusers + user_block - 1) // user_block, 1)
     starts = hist.indptr[np.minimum(
@@ -674,6 +673,85 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     return ids, scores, counts
 
 
+_coo_cand_fns: dict = {}
+
+
+def _get_coo_cand_scores(npad, U, H, R, C, n, exclude_history):
+    """Per-block candidate scores from the padded-row model WITHOUT an
+    (U, npad) score row: the block's (history, model row) COO pairs are
+    sorted and segment-summed (exactly like _get_predict_scan_coo), then
+    each candidate's score is a searchsorted join against the sorted run
+    keys.  ``exclude_history`` adds the -1e30 history pairs and returns
+    the per-user scored-item count (predict_candidate_scores semantics);
+    without it, history items keep their scores (GetRec_1vsk)."""
+    key = (npad, U, H, R, C, n, exclude_history)
+    fn = _coo_cand_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        SENT = U * npad
+        assert SENT < 2 ** 31 - 1
+
+        @jax.jit
+        def run(Widx, Wval, bi, bv, cd):
+            hin = bi >= 0
+            safe = jnp.where(hin, bi, npad - 1)
+            wri = jnp.take(Widx, safe.reshape(-1), axis=0) \
+                .reshape(U, H, R)
+            wrv = jnp.take(Wval, safe.reshape(-1), axis=0) \
+                .reshape(U, H, R) * bv[..., None]
+            l3 = jnp.broadcast_to(
+                jnp.arange(U, dtype=jnp.int32)[:, None, None], (U, H, R))
+            key_m = jnp.where(hin[..., None], l3 * npad + wri, SENT)
+            val_m = jnp.where(hin[..., None], wrv, 0.0)
+            if exclude_history:
+                l2 = jnp.broadcast_to(
+                    jnp.arange(U, dtype=jnp.int32)[:, None], (U, H))
+                key_h = jnp.where(hin, l2 * npad + safe, SENT)
+                val_h = jnp.where(hin, jnp.float32(-1e30), 0.0)
+                keys = jnp.concatenate([key_m.reshape(-1),
+                                        key_h.reshape(-1)])
+                vals = jnp.concatenate([val_m.reshape(-1),
+                                        val_h.reshape(-1)])
+            else:
+                keys = key_m.reshape(-1)
+                vals = val_m.reshape(-1)
+            keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+            N = keys.shape[0]
+            newrun = keys[1:] != keys[:-1]
+            start = jnp.concatenate([jnp.ones((1,), bool), newrun])
+            is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
+            run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+            rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
+            rsum = jnp.take(rs, run_id)
+
+            uq = jnp.arange(U, dtype=jnp.int32)[:, None]
+            qk = jnp.where((cd >= 0) & (cd < n),
+                           uq * npad + jnp.clip(cd, 0, npad - 1),
+                           SENT + 1).reshape(-1)
+            pos = jnp.clip(jnp.searchsorted(keys, qk), 0, N - 1) \
+                .astype(jnp.int32)
+            hit = jnp.take(keys, pos) == qk
+            cs = jnp.where(hit, jnp.take(rsum, pos), 0.0).reshape(U, C)
+
+            end_real = is_end & (keys < SENT)
+            nsc = jnp.zeros((U + 1,), jnp.int32).at[
+                jnp.where(end_real, keys // npad, U)].add(
+                (end_real & (rsum > 0)).astype(jnp.int32))
+            return cs, nsc[:U]
+
+        fn = _coo_cand_fns[key] = run
+    return fn
+
+
+def _coo_user_block(user_block, npad):
+    """Largest block the int32 user*npad + candidate key admits."""
+    while user_block > 8 and user_block * npad >= 2 ** 31:
+        user_block //= 2
+    return user_block
+
+
 def predict_candidate_scores(model: CSR, hist: CSR, cand: np.ndarray,
                              W_dev=None, user_block: int = 1024,
                              sparse: bool | None = None):
@@ -695,10 +773,20 @@ def predict_candidate_scores(model: CSR, hist: CSR, cand: np.ndarray,
     npad = _bucket(n)
     if sparse is None:
         sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+    use_coo = False
     if sparse:
         Wsp = sparsify_model_device(model, npad)
-        user_block = min(user_block,
-                         max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+        coo = int(os.environ.get("SLIM_PREDICT_COO_NPAD",
+                                 COO_PREDICT_NPAD))
+        use_coo = coo > 0 and npad >= coo
+        if use_coo:
+            # no npad-wide rows in the COO join; only the int32 sort key
+            # bounds the block
+            user_block = _coo_user_block(user_block, npad)
+        else:
+            user_block = min(
+                user_block,
+                max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
     else:
         W = W_dev if W_dev is not None else densify_model(model, npad)
 
@@ -746,7 +834,15 @@ def predict_candidate_scores(model: CSR, hist: CSR, cand: np.ndarray,
         bi[:u1 - u0] = hidx[u0:u1]
         bv[:u1 - u0] = hval[u0:u1]
         cd[:u1 - u0] = cand[u0:u1]
-        if sparse:
+        if use_coo:
+            fn = _get_coo_cand_scores(npad, ub, H, int(Wsp[0].shape[1]),
+                                      C, n, True)
+            cs, ns = fn(Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv),
+                        jnp.asarray(cd))
+            # history runs carry the -1e30 marker sum; the reference's
+            # cs>0 rule zeroes them like the masked dense path
+            cs = jnp.where(cs > 0, cs, 0.0)
+        elif sparse:
             cs, ns = block_sp(Wsp[0], Wsp[1], jnp.asarray(bi),
                               jnp.asarray(bv), jnp.asarray(cd))
         else:
@@ -790,10 +886,18 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
     npad = _bucket(n)
     if sparse is None:
         sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
+    use_coo = False
     if sparse:
         Wsp = sparsify_model_device(model, npad)
-        user_block = min(user_block,
-                         max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+        coo = int(os.environ.get("SLIM_PREDICT_COO_NPAD",
+                                 COO_PREDICT_NPAD))
+        use_coo = coo > 0 and npad >= coo
+        if use_coo:
+            user_block = _coo_user_block(user_block, npad)
+        else:
+            user_block = min(
+                user_block,
+                max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
     else:
         W = W_dev if W_dev is not None else densify_model(model, npad)
 
@@ -804,13 +908,16 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
     if hist.data is None:
         hval = (hidx >= 0).astype(np.float32)
 
-    def gather_cands(scores, cand, k):
-        safe_cand = jnp.clip(cand, 0, npad - 1)
-        in_range = (cand >= 0) & (cand < n)
-        cscores = jnp.where(
-            in_range,
-            jnp.take_along_axis(scores, safe_cand, axis=1),
-            0.0)                                         # (U, nnegs)
+    def gather_cands(scores, cand, k, from_cands=False):
+        if from_cands:
+            cscores = scores                             # already (U, nnegs)
+        else:
+            safe_cand = jnp.clip(cand, 0, npad - 1)
+            in_range = (cand >= 0) & (cand < n)
+            cscores = jnp.where(
+                in_range,
+                jnp.take_along_axis(scores, safe_cand, axis=1),
+                0.0)                                     # (U, nnegs)
         kk = min(k, nnegs)
         top_sc, top_pos = jax.lax.top_k(cscores, kk)
         top_ids = jnp.take_along_axis(cand, top_pos, axis=1)
@@ -840,7 +947,14 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
         bi[:u1 - u0] = hidx[u0:u1]
         bv[:u1 - u0] = hval[u0:u1]
         cd[:u1 - u0] = negitems[u0:u1]
-        if sparse:
+        if use_coo:
+            fn = _get_coo_cand_scores(npad, ub, H, int(Wsp[0].shape[1]),
+                                      nnegs, n, False)
+            cs, _ = fn(Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv),
+                       jnp.asarray(cd))
+            tid, tsc = gather_cands(cs, jnp.asarray(cd), nrcmds,
+                                    from_cands=True)
+        elif sparse:
             tid, tsc = block_sparse(Wsp[0], Wsp[1], jnp.asarray(bi),
                                     jnp.asarray(bv), jnp.asarray(cd), nrcmds)
         else:

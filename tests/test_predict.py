@@ -339,3 +339,32 @@ def test_predict_coo_scan_200k_oracle(monkeypatch):
         np.testing.assert_allclose(np.sort(scores[u][:k])[::-1],
                                    np.sort(s)[::-1][:k],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_predict_coo_candidate_paths_match_dense(rng, monkeypatch):
+    """COO searchsorted-join candidate scoring (neg-file + 1vsk) must
+    match the dense paths: history exclusion + scored counts for
+    predict_candidate_scores, history-kept raw scores for 1vsk."""
+    from slim_tpu.predict import predict_candidate_scores
+
+    model = random_csr(rng, 60, 60, density=0.2, seed=280)
+    hist = random_csr(rng, 30, 60, density=0.2, seed=281)
+    cand = rng.integers(-1, 60, size=(30, 9)).astype(np.int32)
+    # plant history items among candidates to exercise the exclusion
+    cand[0, 0] = hist.indices[hist.indptr[0]] if hist.row_nnz()[0] else 0
+
+    dcs, dns = predict_candidate_scores(model, hist, cand, sparse=False)
+    monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "1")
+    ccs, cns = predict_candidate_scores(model, hist, cand, sparse=True,
+                                        user_block=8)
+    np.testing.assert_array_equal(dns, cns)
+    np.testing.assert_allclose(dcs, ccs, rtol=1e-5, atol=1e-6)
+
+    neg = rng.integers(0, 60, size=(30, 8)).astype(np.int32)
+    di, dsc, _ = predict_topn_1vsk(model, hist, neg, nrcmds=5, sparse=False)
+    si, ssc, _ = predict_topn_1vsk(model, hist, neg, nrcmds=5, sparse=True,
+                                   user_block=8)
+    np.testing.assert_allclose(np.sort(dsc, axis=1), np.sort(ssc, axis=1),
+                               rtol=1e-5, atol=1e-6)
+    for u in range(30):
+        assert set(di[u]) == set(si[u]), u
