@@ -888,14 +888,35 @@ def make_sharded_predict(mesh: Mesh, nrcmds: int):
     return jax.jit(fn)
 
 
+def make_sharded_predict_coo(mesh: Mesh, nrcmds: int, npad: int, n: int):
+    """Users sharded over the grid against a replicated padded-row sparse
+    model: the COO segment-top-k block (predict._coo_topn_from_hist) runs
+    purely locally per shard -- 2M-item catalogues servable on a pod with
+    nnz·8 model bytes per device and no npad-wide score rows."""
+    from ..predict import _coo_topn_from_hist
+
+    def score(wi, wv, hidx, hval):
+        return _coo_topn_from_hist(wi, wv, hidx, hval, nrcmds, npad, n)
+
+    fn = shard_map(
+        score, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(("dp", "mp"), None),
+                  P(("dp", "mp"), None)),
+        out_specs=P(("dp", "mp"), None),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_predict(model: CSR, hist: CSR, mesh: Mesh, nrcmds: int = 10):
-    from ..predict import densify_model
+    from ..predict import (COO_PREDICT_NPAD, SPARSE_PREDICT_THRESHOLD,
+                           _bucket, densify_model, sparsify_model_device)
 
     n = max(model.nrows, model.ncols, hist.ncols)
-    npad = _round_up(n + 1, 128)
-    W = densify_model(model, npad)
     ndev = mesh.size
     nusers = hist.nrows
+    use_coo = _bucket(n) > min(SPARSE_PREDICT_THRESHOLD, int(_os.environ.get(
+        "SLIM_PREDICT_COO_NPAD", COO_PREDICT_NPAD)))
+    npad = _bucket(n) if use_coo else _round_up(n + 1, 128)
     upad = _round_up(max(nusers, ndev), ndev)
     H = max(int(hist.row_nnz().max()) if nusers else 1, 1)
     hidx = np.full((upad, H), -1, np.int32)
@@ -904,8 +925,32 @@ def sharded_predict(model: CSR, hist: CSR, mesh: Mesh, nrcmds: int = 10):
     hidx[:nusers] = np.where(hi >= n, -1, hi)
     hval[:nusers] = hv if hist.data is not None else (hidx[:nusers] >= 0)
 
-    fn = make_sharded_predict(mesh, nrcmds)
     spec = NamedSharding(mesh, P(("dp", "mp"), None))
+    if use_coo:
+        from ..predict import _coo_user_block
+
+        Wi, Wv = sparsify_model_device(model, npad)
+        repl2 = NamedSharding(mesh, P(None, None))
+        Wi = jax.device_put(Wi, repl2)
+        Wv = jax.device_put(Wv, repl2)
+        fn = make_sharded_predict_coo(mesh, nrcmds, npad, n)
+        # per-shard block bounded by the int32 sort key (ub·npad < 2^31)
+        step = ndev * _coo_user_block(1024, npad)
+        packs = []
+        for u0 in range(0, upad, step):
+            bi = np.full((step, H), -1, np.int32)
+            bv = np.zeros((step, H), np.float32)
+            u1 = min(u0 + step, upad)
+            bi[:u1 - u0] = hidx[u0:u1]
+            bv[:u1 - u0] = hval[u0:u1]
+            packs.append(fn(Wi, Wv, jax.device_put(bi, spec),
+                            jax.device_put(bv, spec)))
+        packed = np.concatenate([np.asarray(o) for o in packs])[:nusers]
+        return (packed[:, :nrcmds].astype(np.int32),
+                packed[:, nrcmds:2 * nrcmds].astype(np.float32),
+                packed[:, 2 * nrcmds].astype(np.int32))
+    W = densify_model(model, npad)
+    fn = make_sharded_predict(mesh, nrcmds)
     ids, scores, counts = fn(W, jax.device_put(hidx, spec),
                              jax.device_put(hval, spec))
     return (np.asarray(ids)[:nusers], np.asarray(scores)[:nusers],

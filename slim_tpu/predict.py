@@ -673,6 +673,66 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     return ids, scores, counts
 
 
+def _coo_topn_from_hist(Widx, Wval, bi, bv, nrcmds, npad, n):
+    """COO segment-top-k top-N for one padded history block (U, H) --
+    the same math as _get_predict_scan_coo's body, from padded rows
+    instead of a flat-CSR slice.  Jittable and shard_map-compatible
+    (purely local ops); returns the packed (U, 2k+1) block."""
+    import jax
+    import jax.numpy as jnp
+
+    U, H = bi.shape
+    R = Widx.shape[1]
+    SENT = U * npad
+
+    hin = (bi >= 0) & (bi < n)
+    safe = jnp.where(hin, bi, npad - 1)
+    wri = jnp.take(Widx, safe.reshape(-1), axis=0).reshape(U, H, R)
+    wrv = jnp.take(Wval, safe.reshape(-1), axis=0).reshape(U, H, R) \
+        * bv[..., None]
+    l3 = jnp.broadcast_to(
+        jnp.arange(U, dtype=jnp.int32)[:, None, None], (U, H, R))
+    key_m = jnp.where(hin[..., None], l3 * npad + wri, SENT)
+    val_m = jnp.where(hin[..., None], wrv, 0.0)
+    l2 = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[:, None], (U, H))
+    key_h = jnp.where(hin, l2 * npad + safe, SENT)
+    val_h = jnp.where(hin, jnp.float32(-1e30), 0.0)
+    keys = jnp.concatenate([key_m.reshape(-1), key_h.reshape(-1)])
+    vals = jnp.concatenate([val_m.reshape(-1), val_h.reshape(-1)])
+    keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+    N = keys.shape[0]
+
+    newrun = keys[1:] != keys[:-1]
+    start = jnp.concatenate([jnp.ones((1,), bool), newrun])
+    is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
+    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
+    rsum = jnp.take(rs, run_id)
+    end_real = is_end & (keys < SENT)
+
+    u_run = jnp.where(end_real, keys // npad, U)
+    negs = jnp.where(end_real, -rsum, jnp.inf)
+    cand = jnp.where(end_real, keys % npad, npad - 1)
+    u_s, ns_s, cd_s = jax.lax.sort((u_run, negs, cand), num_keys=2)
+
+    pos = jnp.searchsorted(u_s, jnp.arange(U + 1, dtype=jnp.int32)) \
+        .astype(jnp.int32)
+    take = pos[:-1, None] + jnp.arange(nrcmds, dtype=jnp.int32)[None, :]
+    inuser = take < pos[1:, None]
+    takes = jnp.minimum(take, N - 1)
+    top_sc = jnp.where(inuser, -jnp.take(ns_s, takes), 0.0)
+    top_id = jnp.where(inuser, jnp.take(cd_s, takes), -1)
+
+    nc = jnp.zeros((U + 1,), jnp.int32).at[u_run].add(
+        (end_real & (rsum > 0)).astype(jnp.int32))
+    counts = jnp.minimum(nc[:U], nrcmds)
+    ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
+    return jnp.concatenate(
+        [jnp.where(ok, top_id, -1).astype(jnp.float32),
+         jnp.where(ok, top_sc, 0.0),
+         counts.astype(jnp.float32)[:, None]], axis=1)
+
+
 _coo_cand_fns: dict = {}
 
 

@@ -164,3 +164,25 @@ def test_sharded_g_matches_single_device(rng):
                                single_model.to_scipy().toarray(), atol=5e-4)
     np.testing.assert_allclose(sg_stats["fit"], single_stats["fit"],
                                rtol=1e-3)
+
+
+def test_sharded_predict_coo_matches_single(rng, monkeypatch):
+    """Sparse (COO) sharded predict vs the single-device path, forced at
+    a small catalogue via the env threshold."""
+    from slim_tpu.parallel.dist import sharded_predict
+    from slim_tpu.parallel.mesh import make_mesh
+    from slim_tpu.predict import predict_topn
+
+    monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "1")
+    model = random_csr(rng, 50, 50, density=0.2, seed=300)
+    hist = random_csr(rng, 37, 50, density=0.2, seed=301)
+    mesh = make_mesh(len(jax.devices()))
+    si, ssc, sc = sharded_predict(model, hist, mesh, nrcmds=6)
+    di, dsc, dc = predict_topn(model, hist, nrcmds=6, sparse=True,
+                               scan=False)
+    np.testing.assert_array_equal(dc, sc)
+    for u in range(hist.nrows):
+        k = dc[u]
+        assert set(di[u][:k]) == set(si[u][:k]), u
+        np.testing.assert_allclose(np.sort(dsc[u][:k]), np.sort(ssc[u][:k]),
+                                   rtol=1e-5, atol=1e-6)
