@@ -125,6 +125,13 @@ from slim_tpu.predict import sparsify_model_device
 Wsp = sparsify_model_device(mdl2)
 ids3, _, _ = predict_topn(mdl2, train_csr, nrcmds=10, W_dev=Wsp, scan=True)
 
+# At >=2^19 items the sparse scan switches to the COO segment-top-k
+# kernel: per-user cost O(history x model-row-width), independent of the
+# catalogue size -- 2M-item catalogues serve without any npad-wide
+# buffer (SLIM_PREDICT_COO_NPAD overrides the threshold; the neg-file
+# and 1-vs-k paths use the same machinery via a searchsorted join, and
+# sharded_predict runs it per user shard on a mesh).
+
 # Native CPU predict (serving small catalogues; same scoring semantics):
 from slim_tpu import native
 if native.available():
