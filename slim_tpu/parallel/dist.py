@@ -601,8 +601,7 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
     Bsup = ndev * int(cfg.block_size)
     fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
 
-    csc = train.transpose()
-    nnz_col = csc.row_nnz().astype(np.int64)
+    nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
     p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
     posmap = np.empty(n, dtype=np.int32)
@@ -790,8 +789,7 @@ def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
     ndev = mesh.size
     Bsup = ndev * int(cfg.block_size)
 
-    csc = train.transpose()
-    nnz_col = csc.row_nnz().astype(np.int64)
+    nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
     p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
     posmap = np.empty(n, dtype=np.int32)

@@ -101,8 +101,7 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
     npad = bucket_npad(n)
     B = int(cfg.block_size)
 
-    csc = train.transpose()
-    nnz_col = csc.row_nnz().astype(np.int64)
+    nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
     p = np.argsort(-nnz_col, kind="stable").astype(np.int32)
     posmap = np.empty(n, dtype=np.int32)
@@ -346,8 +345,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     npad = bucket_npad(n)
     B = int(cfg.block_size)
 
-    csc = train.transpose()
-    nnz_col = csc.row_nnz().astype(np.int64)
+    nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
     _mark("transpose")
 
