@@ -630,14 +630,20 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                    if g_all is not None else None)
             by_dev.setdefault(dev, []).append(rec)
         for dev, group in by_dev.items():
-            cnts = np.asarray(jnp.concatenate(
-                [count_over(out[0], EPSILON) for _, _, out, _ in group]))
-            stats_all = np.asarray(jnp.concatenate(
+            cnts_d = jnp.concatenate(
+                [count_over(out[0], EPSILON) for _, _, out, _ in group])
+            stats_d = jnp.concatenate(
                 [jnp.stack([out[1].astype(jnp.float32),
                             out[2].astype(jnp.float32),
                             out[3], out[4]], axis=1)
-                 for _, _, out, _ in group],
-                axis=0), dtype=np.float64)
+                 for _, _, out, _ in group], axis=0)
+            # every device->host transfer funnels through the single
+            # fetch worker: the tunnel client sees one thread, and the
+            # pack fetches of the previous chunk can't interleave with
+            # this chunk's count fetch
+            cnts, stats_all = fetch_pool.submit(
+                lambda a=cnts_d, b=stats_d:
+                (np.asarray(a), np.asarray(b, dtype=np.float64))).result()
 
             by_T = {}
             for k, (blk, nJ, out, S_h) in enumerate(group):
