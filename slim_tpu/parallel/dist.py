@@ -912,8 +912,14 @@ def sharded_predict(model: CSR, hist: CSR, mesh: Mesh, nrcmds: int = 10):
     n = max(model.nrows, model.ncols, hist.ncols)
     ndev = mesh.size
     nusers = hist.nrows
-    use_coo = _bucket(n) > min(SPARSE_PREDICT_THRESHOLD, int(_os.environ.get(
-        "SLIM_PREDICT_COO_NPAD", COO_PREDICT_NPAD)))
+    # dense replicated W is untenable above the sparse threshold; the COO
+    # kernel serves everything beyond it (SLIM_PREDICT_COO_NPAD can lower
+    # the cutover for testing; 0 disables the override, not the path --
+    # there is no npad-wide sparse sharded alternative)
+    coo = int(_os.environ.get("SLIM_PREDICT_COO_NPAD", COO_PREDICT_NPAD))
+    cutover = min(SPARSE_PREDICT_THRESHOLD, coo) if coo > 0 \
+        else SPARSE_PREDICT_THRESHOLD
+    use_coo = _bucket(n) > cutover
     npad = _bucket(n) if use_coo else _round_up(n + 1, 128)
     upad = _round_up(max(nusers, ndev), ndev)
     H = max(int(hist.row_nnz().max()) if nusers else 1, 1)
@@ -943,10 +949,10 @@ def sharded_predict(model: CSR, hist: CSR, mesh: Mesh, nrcmds: int = 10):
             bv[:u1 - u0] = hval[u0:u1]
             packs.append(fn(Wi, Wv, jax.device_put(bi, spec),
                             jax.device_put(bv, spec)))
+        from ..predict import _unpack_topn
+
         packed = np.concatenate([np.asarray(o) for o in packs])[:nusers]
-        return (packed[:, :nrcmds].astype(np.int32),
-                packed[:, nrcmds:2 * nrcmds].astype(np.float32),
-                packed[:, 2 * nrcmds].astype(np.int32))
+        return _unpack_topn(packed, nrcmds)
     W = densify_model(model, npad)
     fn = make_sharded_predict(mesh, nrcmds)
     ids, scores, counts = fn(W, jax.device_put(hidx, spec),

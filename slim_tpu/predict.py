@@ -79,14 +79,8 @@ def _score_topn_block(W, hist_idx, hist_val, nrcmds):
     ncand = jnp.sum(scores > 0, axis=1)
     top_scores, top_ids = jax.lax.top_k(scores, nrcmds)
     counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
-    valid = jnp.arange(nrcmds)[None, :] < counts[:, None]
-    top_ids = jnp.where(valid, top_ids, -1)
-    top_scores = jnp.where(valid, top_scores, 0.0)
-    # pack [ids, scores, counts] into one f32 array => a single
-    # device->host transfer per call (ids < 2^24 are exact in f32)
-    return jnp.concatenate(
-        [top_ids.astype(jnp.float32), top_scores,
-         counts.astype(jnp.float32)[:, None]], axis=1)
+    # one packed f32 block => a single device->host transfer per call
+    return _pack_topn(top_ids, top_scores, counts, nrcmds)
 
 
 def densify_model(model: CSR, npad: int | None = None):
@@ -217,12 +211,7 @@ def _get_predict_scan(npad, ub, nblocks, P, nrcmds, nnz, n, prec):
                 ncand = jnp.sum(scores > 0, axis=1)
                 top_sc, top_id = jax.lax.top_k(scores, nrcmds)
                 counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
-                ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
-                out = jnp.concatenate(
-                    [jnp.where(ok, top_id, -1).astype(jnp.float32),
-                     jnp.where(ok, top_sc, 0.0),
-                     counts.astype(jnp.float32)[:, None]], axis=1)
-                return None, out
+                return None, _pack_topn(top_id, top_sc, counts, nrcmds)
 
             _, outs = jax.lax.scan(body, None,
                                    jnp.arange(nblocks, dtype=jnp.int32))
@@ -261,13 +250,17 @@ def _predict_topn_scan(model, hist, nrcmds, user_block, W, n, npad, prec):
                 jnp.asarray(hist.indptr.astype(np.int32)),
                 jnp.asarray(starts))
     all_host = np.asarray(packed)[:nusers]
-    ids = all_host[:, :nrcmds].astype(np.int32)
-    scores = all_host[:, nrcmds:2 * nrcmds].astype(np.float32)
-    counts = all_host[:, 2 * nrcmds].astype(np.int32)
-    return ids, scores, counts
+    return _unpack_topn(all_host, nrcmds)
 
 
-def _topk_wide(scores, k):
+def _topk_chunk_env():
+    """SLIM_TOPK_CHUNK, read at call (not trace) time so it can key the
+    compiled-function caches -- an in-process A/B flip must not silently
+    reuse the previous setting's kernel."""
+    return int(os.environ.get("SLIM_TOPK_CHUNK", "32768"))
+
+
+def _topk_wide(scores, k, chunk=None):
     """Exact top-k over very wide score rows via two stages: per-chunk
     top-k then top-k over the C·k chunk winners (any global top-k element
     is inside its chunk's top-k, so the composition is exact; tie order
@@ -279,8 +272,20 @@ def _topk_wide(scores, k):
     import jax.numpy as jnp
 
     U, npad = scores.shape
-    chunk = int(os.environ.get("SLIM_TOPK_CHUNK", "32768"))
-    if chunk <= 0 or npad < 2 * chunk or npad % chunk or k > chunk:
+    if chunk is None:
+        chunk = _topk_chunk_env()
+    if chunk > 0 and npad % chunk:
+        # bucketed npads are 4096-multiples, not always pow2: use the
+        # largest 4096-multiple divisor of npad at most the requested
+        # chunk so the two-stage form engages at every bucket
+        base = 4096 if npad % 4096 == 0 else 0
+        if base:
+            d = max((m for m in range(base, chunk + 1, base)
+                     if npad % m == 0), default=0)
+            chunk = d
+        else:
+            chunk = 0
+    if chunk <= 0 or npad < 2 * chunk or k > chunk:
         return jax.lax.top_k(scores, k)
     C = npad // chunk
     loc_sc, loc_id = jax.lax.top_k(scores.reshape(U, C, chunk), k)
@@ -294,7 +299,8 @@ def _topk_wide(scores, k):
 _predict_scan_sparse_fns: dict = {}
 
 
-def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
+def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n,
+                             topk_chunk=0):
     """One-dispatch sparse predict: a jitted scan over user blocks against
     the resident padded-row model (:func:`sparsify_model_device`).
 
@@ -303,7 +309,7 @@ def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
     scatter-add instead of an MXU matmul against dense W, so HBM holds
     nnz·8 model bytes instead of npad²·4 -- the only way a 2M-item
     catalogue is servable at all (dense W would be 16TB)."""
-    key = (npad, ub, nblocks, P, R, nrcmds, nnz, n)
+    key = (npad, ub, nblocks, P, R, nrcmds, nnz, n, topk_chunk)
     fn = _predict_scan_sparse_fns.get(key)
     if fn is None:
         import jax
@@ -337,14 +343,9 @@ def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
                     cin, mode="drop")
                 scores = jnp.where(mask, NEG_INF, scores)
                 ncand = jnp.sum(scores > 0, axis=1)
-                top_sc, top_id = _topk_wide(scores, nrcmds)
+                top_sc, top_id = _topk_wide(scores, nrcmds, topk_chunk)
                 counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
-                ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
-                out = jnp.concatenate(
-                    [jnp.where(ok, top_id, -1).astype(jnp.float32),
-                     jnp.where(ok, top_sc, 0.0),
-                     counts.astype(jnp.float32)[:, None]], axis=1)
-                return None, out
+                return None, _pack_topn(top_id, top_sc, counts, nrcmds)
 
             _, outs = jax.lax.scan(body, None,
                                    jnp.arange(nblocks, dtype=jnp.int32))
@@ -352,6 +353,85 @@ def _get_predict_scan_sparse(npad, ub, nblocks, P, R, nrcmds, nnz, n):
 
         fn = _predict_scan_sparse_fns[key] = run
     return fn
+
+
+def _pack_topn(top_id, top_sc, counts, nrcmds):
+    """Pack [ids, scores, counts] into one f32 block (a single
+    device->host transfer).  Ids are BITCAST into the f32 lanes (not
+    value-cast), so they stay exact beyond 2^24 -- a 2M+-item catalogue
+    must not round its item ids; unpack with :func:`_unpack_topn`."""
+    import jax
+    import jax.numpy as jnp
+
+    ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
+    ids_i = jnp.where(ok, top_id.astype(jnp.int32), -1)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(ids_i, jnp.float32),
+         jnp.where(ok, top_sc, 0.0),
+         counts.astype(jnp.float32)[:, None]], axis=1)
+
+
+def _unpack_topn(all_host, nrcmds):
+    """Host-side inverse of :func:`_pack_topn`."""
+    ids = np.ascontiguousarray(all_host[:, :nrcmds]).view(np.int32)
+    scores = all_host[:, nrcmds:2 * nrcmds].astype(np.float32)
+    counts = all_host[:, 2 * nrcmds].astype(np.int32)
+    return ids, scores, counts
+
+
+def _coo_sorted_runs(keys, vals):
+    """Sort COO (key, val) pairs and segment-sum duplicate keys.
+
+    Returns (keys_sorted, is_end, rsum) where is_end marks each run's
+    last element and rsum[i] is the TOTAL of element i's run (exact f32
+    scatter-add, the same accumulation as the dense paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+    N = keys.shape[0]
+    newrun = keys[1:] != keys[:-1]
+    start = jnp.concatenate([jnp.ones((1,), bool), newrun])
+    is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
+    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
+    return keys, is_end, jnp.take(rs, run_id)
+
+
+def _coo_topn_from_pairs(keys, vals, U, npad, nrcmds):
+    """Packed top-N from COO (user*npad + candidate, weight) pairs.
+
+    One sort groups duplicates, a segment scatter-add produces the
+    per-(user, candidate) sums, and a second sort by (user, -sum) orders
+    every user's candidates so the static top-k is a contiguous gather.
+    Keys >= U*npad are padding; history exclusion arrives as -1e30 pairs
+    (the run sum goes negative and negative scores are never counted,
+    predict.c:33-37's marker)."""
+    import jax
+    import jax.numpy as jnp
+
+    SENT = U * npad
+    keys, is_end, rsum = _coo_sorted_runs(keys, vals)
+    N = keys.shape[0]
+    end_real = is_end & (keys < SENT)
+
+    u_run = jnp.where(end_real, keys // npad, U)
+    negs = jnp.where(end_real, -rsum, jnp.inf)
+    cand = jnp.where(end_real, keys % npad, npad - 1)
+    u_s, ns_s, cd_s = jax.lax.sort((u_run, negs, cand), num_keys=2)
+
+    pos = jnp.searchsorted(u_s, jnp.arange(U + 1, dtype=jnp.int32)) \
+        .astype(jnp.int32)
+    take = pos[:-1, None] + jnp.arange(nrcmds, dtype=jnp.int32)[None, :]
+    inuser = take < pos[1:, None]
+    takes = jnp.minimum(take, N - 1)
+    top_sc = jnp.where(inuser, -jnp.take(ns_s, takes), 0.0)
+    top_id = jnp.where(inuser, jnp.take(cd_s, takes), -1)
+
+    nc = jnp.zeros((U + 1,), jnp.int32).at[u_run].add(
+        (end_real & (rsum > 0)).astype(jnp.int32))
+    counts = jnp.minimum(nc[:U], nrcmds)
+    return _pack_topn(top_id, top_sc, counts, nrcmds)
 
 
 _predict_scan_coo_fns: dict = {}
@@ -381,7 +461,6 @@ def _get_predict_scan_coo(npad, ub, nblocks, P, R, nrcmds, nnz, n):
         import jax
         import jax.numpy as jnp
 
-        N = P * (R + 1)
         SENT = ub * npad                  # caller guarantees < 2^31
         assert SENT < 2 ** 31
 
@@ -412,42 +491,8 @@ def _get_predict_scan_coo(npad, ub, nblocks, P, R, nrcmds, nnz, n):
 
                 keys = jnp.concatenate([key_m.reshape(-1), key_h])
                 vals = jnp.concatenate([val_m.reshape(-1), val_h])
-                keys, vals = jax.lax.sort((keys, vals), num_keys=1)
-
-                newrun = keys[1:] != keys[:-1]
-                start = jnp.concatenate([jnp.ones((1,), bool), newrun])
-                is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
-                run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
-                rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
-                rsum = jnp.take(rs, run_id)     # run total at every element
-                real = keys < SENT
-
-                end_real = is_end & real
-                u_run = jnp.where(end_real, keys // npad, ub)
-                negs = jnp.where(end_real, -rsum, jnp.inf)
-                cand = jnp.where(end_real, keys % npad, npad - 1)
-                u_s, ns_s, cd_s = jax.lax.sort((u_run, negs, cand),
-                                               num_keys=2)
-
-                pos = jnp.searchsorted(
-                    u_s, jnp.arange(ub + 1, dtype=jnp.int32)
-                ).astype(jnp.int32)
-                take = pos[:-1, None] + jnp.arange(nrcmds,
-                                                   dtype=jnp.int32)[None, :]
-                inuser = take < pos[1:, None]
-                takes = jnp.minimum(take, N - 1)
-                top_sc = jnp.where(inuser, -jnp.take(ns_s, takes), 0.0)
-                top_id = jnp.where(inuser, jnp.take(cd_s, takes), -1)
-
-                nc = jnp.zeros((ub + 1,), jnp.int32).at[u_run].add(
-                    (end_real & (rsum > 0)).astype(jnp.int32))
-                counts = jnp.minimum(nc[:ub], nrcmds)
-                ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
-                out = jnp.concatenate(
-                    [jnp.where(ok, top_id, -1).astype(jnp.float32),
-                     jnp.where(ok, top_sc, 0.0),
-                     counts.astype(jnp.float32)[:, None]], axis=1)
-                return None, out
+                return None, _coo_topn_from_pairs(keys, vals, ub, npad,
+                                                  nrcmds)
 
             _, outs = jax.lax.scan(body, None,
                                    jnp.arange(nblocks, dtype=jnp.int32))
@@ -488,16 +533,18 @@ def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
     else:
         val = np.zeros(T, np.float32)
         val[:hist.nnz] = hist.values()
-    get = _get_predict_scan_coo if use_coo else _get_predict_scan_sparse
-    fn = get(npad, user_block, nblocks, P, R, nrcmds, T, n)
+    if use_coo:
+        fn = _get_predict_scan_coo(npad, user_block, nblocks, P, R, nrcmds,
+                                   T, n)
+    else:
+        fn = _get_predict_scan_sparse(npad, user_block, nblocks, P, R,
+                                      nrcmds, T, n,
+                                      topk_chunk=_topk_chunk_env())
     packed = fn(Widx, Wval, jnp.asarray(idx), jnp.asarray(val),
                 jnp.asarray(hist.indptr.astype(np.int32)),
                 jnp.asarray(starts))
     all_host = np.asarray(packed)[:nusers]
-    ids = all_host[:, :nrcmds].astype(np.int32)
-    scores = all_host[:, nrcmds:2 * nrcmds].astype(np.float32)
-    counts = all_host[:, 2 * nrcmds].astype(np.int32)
-    return ids, scores, counts
+    return _unpack_topn(all_host, nrcmds)
 
 
 _sparsify_fns: dict = {}
@@ -553,8 +600,9 @@ def sparsify_model_device(model: CSR, npad: int | None = None):
               jnp.asarray(model.indptr.astype(np.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("nrcmds",))
-def _score_topn_block_sparse(Widx, Wval, hist_idx, hist_val, nrcmds):
+@functools.partial(jax.jit, static_argnames=("nrcmds", "topk_chunk"))
+def _score_topn_block_sparse(Widx, Wval, hist_idx, hist_val, nrcmds,
+                             topk_chunk=0):
     """Sparse-model variant of :func:`_score_topn_block`: gather the padded
     model rows of each history item and scatter-add into per-user dense
     score vectors ((U, npad) -- the only dense object, so memory scales
@@ -575,14 +623,9 @@ def _score_topn_block_sparse(Widx, Wval, hist_idx, hist_val, nrcmds):
         jnp.arange(U)[:, None], safe_idx].max(hist_idx >= 0)
     scores = jnp.where(mask, NEG_INF, scores)
     ncand = jnp.sum(scores > 0, axis=1)
-    top_scores, top_ids = _topk_wide(scores, nrcmds)
+    top_scores, top_ids = _topk_wide(scores, nrcmds, topk_chunk)
     counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
-    valid = jnp.arange(nrcmds)[None, :] < counts[:, None]
-    top_ids = jnp.where(valid, top_ids, -1)
-    top_scores = jnp.where(valid, top_scores, 0.0)
-    return jnp.concatenate(
-        [top_ids.astype(jnp.float32), top_scores,
-         counts.astype(jnp.float32)[:, None]], axis=1)
+    return _pack_topn(top_ids, top_scores, counts, nrcmds)
 
 
 def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
@@ -656,7 +699,8 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
         bv[:u1 - u0] = hval[u0:u1]
         if sparse:
             packed.append(_score_topn_block_sparse(
-                Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv), nrcmds))
+                Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv), nrcmds,
+                topk_chunk=_topk_chunk_env()))
         else:
             packed.append(_score_topn_block(W, jnp.asarray(bi),
                                             jnp.asarray(bv), nrcmds))
@@ -667,9 +711,8 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
         for k, u0 in enumerate(range(0, nusers, ub)):
             u1 = min(u0 + ub, nusers)
             blk = all_host[k * ub:k * ub + (u1 - u0)]
-            ids[u0:u1] = blk[:, :nrcmds].astype(np.int32)
-            scores[u0:u1] = blk[:, nrcmds:2 * nrcmds]
-            counts[u0:u1] = blk[:, 2 * nrcmds].astype(np.int32)
+            ids[u0:u1], scores[u0:u1], counts[u0:u1] = \
+                _unpack_topn(blk, nrcmds)
     return ids, scores, counts
 
 
@@ -684,6 +727,8 @@ def _coo_topn_from_hist(Widx, Wval, bi, bv, nrcmds, npad, n):
     U, H = bi.shape
     R = Widx.shape[1]
     SENT = U * npad
+    if SENT >= 2 ** 31:            # int32 sort key bound (see _coo_user_block)
+        raise ValueError(f"U*npad = {SENT} overflows the int32 COO key")
 
     hin = (bi >= 0) & (bi < n)
     safe = jnp.where(hin, bi, npad - 1)
@@ -699,38 +744,7 @@ def _coo_topn_from_hist(Widx, Wval, bi, bv, nrcmds, npad, n):
     val_h = jnp.where(hin, jnp.float32(-1e30), 0.0)
     keys = jnp.concatenate([key_m.reshape(-1), key_h.reshape(-1)])
     vals = jnp.concatenate([val_m.reshape(-1), val_h.reshape(-1)])
-    keys, vals = jax.lax.sort((keys, vals), num_keys=1)
-    N = keys.shape[0]
-
-    newrun = keys[1:] != keys[:-1]
-    start = jnp.concatenate([jnp.ones((1,), bool), newrun])
-    is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
-    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
-    rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
-    rsum = jnp.take(rs, run_id)
-    end_real = is_end & (keys < SENT)
-
-    u_run = jnp.where(end_real, keys // npad, U)
-    negs = jnp.where(end_real, -rsum, jnp.inf)
-    cand = jnp.where(end_real, keys % npad, npad - 1)
-    u_s, ns_s, cd_s = jax.lax.sort((u_run, negs, cand), num_keys=2)
-
-    pos = jnp.searchsorted(u_s, jnp.arange(U + 1, dtype=jnp.int32)) \
-        .astype(jnp.int32)
-    take = pos[:-1, None] + jnp.arange(nrcmds, dtype=jnp.int32)[None, :]
-    inuser = take < pos[1:, None]
-    takes = jnp.minimum(take, N - 1)
-    top_sc = jnp.where(inuser, -jnp.take(ns_s, takes), 0.0)
-    top_id = jnp.where(inuser, jnp.take(cd_s, takes), -1)
-
-    nc = jnp.zeros((U + 1,), jnp.int32).at[u_run].add(
-        (end_real & (rsum > 0)).astype(jnp.int32))
-    counts = jnp.minimum(nc[:U], nrcmds)
-    ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
-    return jnp.concatenate(
-        [jnp.where(ok, top_id, -1).astype(jnp.float32),
-         jnp.where(ok, top_sc, 0.0),
-         counts.astype(jnp.float32)[:, None]], axis=1)
+    return _coo_topn_from_pairs(keys, vals, U, npad, nrcmds)
 
 
 _coo_cand_fns: dict = {}
@@ -777,14 +791,8 @@ def _get_coo_cand_scores(npad, U, H, R, C, n, exclude_history):
             else:
                 keys = key_m.reshape(-1)
                 vals = val_m.reshape(-1)
-            keys, vals = jax.lax.sort((keys, vals), num_keys=1)
+            keys, is_end, rsum = _coo_sorted_runs(keys, vals)
             N = keys.shape[0]
-            newrun = keys[1:] != keys[:-1]
-            start = jnp.concatenate([jnp.ones((1,), bool), newrun])
-            is_end = jnp.concatenate([newrun, jnp.ones((1,), bool)])
-            run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
-            rs = jnp.zeros((N,), jnp.float32).at[run_id].add(vals)
-            rsum = jnp.take(rs, run_id)
 
             uq = jnp.arange(U, dtype=jnp.int32)[:, None]
             qk = jnp.where((cd >= 0) & (cd < n),
@@ -807,8 +815,13 @@ def _get_coo_cand_scores(npad, U, H, R, C, n, exclude_history):
 
 def _coo_user_block(user_block, npad):
     """Largest block the int32 user*npad + candidate key admits."""
-    while user_block > 8 and user_block * npad >= 2 ** 31:
+    while user_block > 1 and user_block * npad >= 2 ** 31:
         user_block //= 2
+    if user_block * npad >= 2 ** 31:
+        raise ValueError(
+            f"catalogue too large for the int32 COO sort key "
+            f"(npad={npad} >= 2^31); per-user COO predict needs an int64 "
+            f"key variant at this scale")
     return user_block
 
 

@@ -347,7 +347,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
-    _mark("transpose")
+    _mark("colcounts")
 
     # Frequency relabeling: solve in a permuted item space where rank r =
     # the r-th most-rated item.  Blocks become consecutive rank ranges
@@ -672,7 +672,6 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     def assemble_state(state):
         """Host-side model assembly for one fetched pipeline state."""
-        nonlocal total_err, total_obj, total_niters
         futs, buckets, stats_all = state
         for fut, ((Tpad, idx16), bl) in zip(futs, buckets):
             va, ia = fut.result()
@@ -724,20 +723,26 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     chunk_starts = range(0, nblocks, max(hchunk, 1))
     pendq = deque()      # dispatched chunks awaiting their count fetch
     inflight = deque()   # harvest states with transfers in the worker
-    for c0 in chunk_starts:
-        recs = [r for r in (dispatch_block(b)
-                            for b in range(c0, min(c0 + hchunk, nblocks)))
-                if r is not None]
-        pendq.append(recs)
-        if len(pendq) >= 2:
+    try:
+        for c0 in chunk_starts:
+            recs = [r for r in (dispatch_block(b)
+                                for b in range(c0,
+                                               min(c0 + hchunk, nblocks)))
+                    if r is not None]
+            pendq.append(recs)
+            if len(pendq) >= 2:
+                inflight.extend(harvest_chunk(pendq.popleft()))
+            while inflight and all(f.done() for f in inflight[0][0]):
+                assemble_state(inflight.popleft())
+        while pendq:
             inflight.extend(harvest_chunk(pendq.popleft()))
-        while inflight and all(f.done() for f in inflight[0][0]):
+        while inflight:
             assemble_state(inflight.popleft())
-    while pendq:
-        inflight.extend(harvest_chunk(pendq.popleft()))
-    while inflight:
-        assemble_state(inflight.popleft())
-    fetch_pool.shutdown()
+    finally:
+        # normal completion has drained every future; on error, don't
+        # leak the worker thread or let queued transfers run against a
+        # broken state
+        fetch_pool.shutdown(wait=False, cancel_futures=True)
 
     for blk in range(nblocks):
         blk_coord, blk_target, blk_vals, blk_err, blk_obj, blk_nit = \

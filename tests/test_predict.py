@@ -368,3 +368,20 @@ def test_predict_coo_candidate_paths_match_dense(rng, monkeypatch):
                                rtol=1e-5, atol=1e-6)
     for u in range(30):
         assert set(di[u]) == set(si[u]), u
+
+
+def test_pack_topn_ids_exact_beyond_f32_integers():
+    """Packed top-N blocks bitcast ids through the f32 lanes, so item ids
+    beyond 2^24 (e.g. a 100M-item catalogue) survive exactly."""
+    import jax.numpy as jnp
+
+    from slim_tpu.predict import _pack_topn, _unpack_topn
+
+    ids = jnp.asarray([[2 ** 24 + 1, 2 ** 30 - 3, -1]], jnp.int32)
+    sc = jnp.asarray([[0.5, 0.25, 0.0]], jnp.float32)
+    counts = jnp.asarray([2], jnp.int32)
+    out_i, out_s, out_c = _unpack_topn(np.asarray(
+        _pack_topn(ids, sc, counts, 3)), 3)
+    np.testing.assert_array_equal(out_i, [[2 ** 24 + 1, 2 ** 30 - 3, -1]])
+    np.testing.assert_allclose(out_s, [[0.5, 0.25, 0.0]])
+    np.testing.assert_array_equal(out_c, [2])
