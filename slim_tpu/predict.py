@@ -668,11 +668,20 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
                 / (npad * 4) + 1)) // 2))
             return _predict_topn_scan_sparse(hist, nrcmds, ub_scan, Wsp,
                                              n, npad)
-        # per-user dense score rows are the only O(n) object: size the
-        # user block so a block's scores stay within ~256MB of HBM
-        user_block = min(user_block,
-                         max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
+        coo = int(os.environ.get("SLIM_PREDICT_COO_NPAD",
+                                 COO_PREDICT_NPAD))
+        block_coo = coo > 0 and npad >= coo
+        if block_coo:
+            # COO block: no npad-wide rows, only the int32 key bound
+            user_block = _coo_user_block(user_block, npad)
+        else:
+            # per-user dense score rows are the only O(n) object: size
+            # the user block so a block's scores stay within ~256MB
+            user_block = min(
+                user_block,
+                max(8, _pow2ceil(int(256e6 / (npad * 4) + 1)) // 2))
     else:
+        block_coo = False
         W = W_dev if W_dev is not None else densify_model(model, npad)
 
     nusers = hist.nrows
@@ -697,7 +706,12 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
         bv = np.zeros((ub, H), dtype=np.float32)
         bi[:u1 - u0] = hidx[u0:u1]
         bv[:u1 - u0] = hval[u0:u1]
-        if sparse:
+        if block_coo:
+            fn = _coo_topn_hist_jit(npad, n, nrcmds, ub, H,
+                                    int(Wsp[0].shape[1]))
+            packed.append(fn(Wsp[0], Wsp[1], jnp.asarray(bi),
+                             jnp.asarray(bv)))
+        elif sparse:
             packed.append(_score_topn_block_sparse(
                 Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv), nrcmds,
                 topk_chunk=_topk_chunk_env()))
@@ -745,6 +759,25 @@ def _coo_topn_from_hist(Widx, Wval, bi, bv, nrcmds, npad, n):
     keys = jnp.concatenate([key_m.reshape(-1), key_h.reshape(-1)])
     vals = jnp.concatenate([val_m.reshape(-1), val_h.reshape(-1)])
     return _coo_topn_from_pairs(keys, vals, U, npad, nrcmds)
+
+
+_coo_hist_fns: dict = {}
+
+
+def _coo_topn_hist_jit(npad, n, nrcmds, U, H, R):
+    """Jitted, shape-keyed wrapper of :func:`_coo_topn_from_hist` for the
+    per-block (non-scan) path."""
+    key = (npad, n, nrcmds, U, H, R)
+    fn = _coo_hist_fns.get(key)
+    if fn is None:
+        import jax
+
+        @jax.jit
+        def run(Wi, Wv, bi, bv):
+            return _coo_topn_from_hist(Wi, Wv, bi, bv, nrcmds, npad, n)
+
+        fn = _coo_hist_fns[key] = run
+    return fn
 
 
 _coo_cand_fns: dict = {}

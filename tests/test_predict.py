@@ -286,16 +286,25 @@ def test_predict_coo_scan_matches_block(rng, monkeypatch):
     exclusion, implicit histories, empty-history users and score ties."""
     from slim_tpu.predict import sparsify_model_device
 
-    monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "1")   # force COO
     model = random_csr(rng, 70, 70, density=0.15, seed=270)
     Wsp = sparsify_model_device(model)
     for implicit, seed in ((False, 271), (True, 272)):
         hist = random_csr(rng, 45, 70, density=0.15, implicit=implicit,
                           seed=seed)
+        monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "0")  # dense-row ref
         bi, bsc, bc = predict_topn(model, hist, nrcmds=7, sparse=True,
                                    scan=False)
+        monkeypatch.setenv("SLIM_PREDICT_COO_NPAD", "1")  # force COO
         si, ssc, sc = predict_topn(model, hist, nrcmds=7, W_dev=Wsp,
                                    scan=True, user_block=16)
+        # the per-block path also routes to the COO kernel above the
+        # threshold; check it against the same dense-row reference
+        ci, csc_, cc = predict_topn(model, hist, nrcmds=7, W_dev=Wsp,
+                                    scan=False, user_block=16)
+        np.testing.assert_array_equal(bc, cc)
+        for u in range(hist.nrows):
+            k = bc[u]
+            assert set(bi[u][:k]) == set(ci[u][:k]), (implicit, u)
         np.testing.assert_array_equal(bc, sc)
         for u in range(hist.nrows):
             k = bc[u]
