@@ -394,3 +394,20 @@ def test_pack_topn_ids_exact_beyond_f32_integers():
     np.testing.assert_array_equal(out_i, [[2 ** 24 + 1, 2 ** 30 - 3, -1]])
     np.testing.assert_allclose(out_s, [[0.5, 0.25, 0.0]])
     np.testing.assert_array_equal(out_c, [2])
+
+
+def test_topk_wide_matches_single_pass_at_bucketed_npads():
+    """Two-stage top-k must engage and be exact at 4096-multiple bucketed
+    widths that are NOT 32768-multiples (e.g. bucket_npad(200000)=200704)."""
+    import jax.numpy as jnp
+    import jax
+
+    from slim_tpu.predict import _topk_wide
+
+    rng = np.random.default_rng(5)
+    scores = jnp.asarray(rng.standard_normal((4, 200704)), jnp.float32)
+    ts, ti = _topk_wide(scores, 10)
+    rs, ri = jax.lax.top_k(scores, 10)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs))
+    # ids may differ on exact ties only; values above rule that out here
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
