@@ -186,3 +186,22 @@ def test_sharded_predict_coo_matches_single(rng, monkeypatch):
         assert set(di[u][:k]) == set(si[u][:k]), u
         np.testing.assert_allclose(np.sort(dsc[u][:k]), np.sort(ssc[u][:k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_blockwise_warm_start_matches_single(rng):
+    """Warm-started distributed blockwise learn must match the warm-started
+    single-device solver (same imodel mapping into each block's compact
+    space)."""
+    from slim_tpu.parallel.dist import distributed_learn_blockwise
+
+    trn = random_csr(rng, 60, 40, density=0.15, implicit=True, seed=310)
+    cfg = SlimConfig(l1r=0.3, l2r=0.3, block_size=4, shuffle=False)
+    base, _ = estimate_model_cd(trn, cfg)
+    # warm start from a perturbed copy of the base model
+    im = base
+    cfg2 = cfg.replace(l1r=0.4)
+    ms, ss = estimate_model_cd(trn, cfg2, imodel=im)
+    mesh = make_mesh(len(jax.devices()))
+    md, sd = distributed_learn_blockwise(trn, cfg2, mesh, imodel=im)
+    assert abs(ss["loss"] - sd["loss"]) <= 1e-4 * max(abs(ss["loss"]), 1.0)
+    assert ms.nnz == md.nnz
