@@ -26,6 +26,7 @@ Env knobs:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -191,7 +192,52 @@ def bench_cpu_predict(train, model, repeats=3):
     return train.nrows / best
 
 
+def wait_for_device(max_wait_s):
+    """Bounded device-alive probe.  This machine's known failure mode is a
+    TPU-relay outage that blackholes every process touching the backend
+    (``import jax`` itself hangs), so the probe MUST run in a subprocess
+    under a timeout -- probing in-process would hang the bench forever.
+    Retries with a 60s period until the device answers or the budget runs
+    out.  Returns True when alive.  Skipped when JAX is pinned to CPU."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    probe = [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8, 8)))))"]
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(probe, capture_output=True, timeout=120)
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"[bench] device answered on probe {attempt}")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        log(f"[bench] device probe {attempt} failed; retrying "
+            f"({remaining / 60:.0f} min left in budget)")
+        time.sleep(min(60, max(1, remaining)))
+
+
 def main():
+    # Survive the known TPU-relay outage: probe (bounded, default 30 min)
+    # before the workload, and on a dead device emit a clean machine-readable
+    # marker instead of a hang or a stack trace.
+    probe_s = float(os.environ.get("SLIM_BENCH_PROBE_S", "1800"))
+    if not wait_for_device(probe_s):
+        print(json.dumps({
+            "metric": "ml20m-synth_cd_item_columns_per_sec",
+            "value": None, "unit": "columns/sec", "vs_baseline": None,
+            "device_down": True,
+            "error": f"TPU backend unreachable after {probe_s:.0f}s of probing",
+        }))
+        return
+
     # persistent compile cache: repeat bench runs skip the (remote) TPU
     # compilation of the solver kernels
     from slim_tpu.utils import enable_compilation_cache
@@ -242,6 +288,11 @@ def main():
         "model_nnz": model.nnz,
         "ncols": train.ncols,
         "device": str(__import__("jax").devices()[0]),
+        # BASELINE.md's north star is a 16-thread C baseline; this machine's
+        # native baseline runs on os.cpu_count() cores.  Record the count so
+        # the ratio is interpretable (see docs/RESULTS.md for the scaling
+        # discussion).
+        "cpu_baseline_threads": os.cpu_count(),
     }
     print(json.dumps(out))
 
