@@ -16,6 +16,13 @@ timeout 3000 python bench.py 2>/tmp/hw_bench.err; tail -5 /tmp/hw_bench.err
 # 2. harvest-pipeline A/B (same bench, pipeline off)
 SLIM_HARVEST_CHUNK=0 SLIM_BENCH_REPS=1 timeout 1800 python bench.py 2>/tmp/hw_bench_nopipe.err
 
+# 3pre. predict crossover points for the device-vs-native serving table
+#       (1.7k = ml100k scale where round-1 measured the device losing 35x,
+#        27k = ML-20M scale); cheap, and they calibrate the native-fallback
+#        dispatch threshold in predict.py
+SLIM_BENCH_REPS=2 timeout 1200 python scripts/predict_large_bench.py 1700 100000 2>/tmp/hw_predict1p7k.err; tail -3 /tmp/hw_predict1p7k.err
+SLIM_BENCH_REPS=2 timeout 1200 python scripts/predict_large_bench.py 27000 100000 2>/tmp/hw_predict27k.err; tail -3 /tmp/hw_predict27k.err
+
 # 3. large-catalogue predict (262k items, 100k users) vs native CPU
 timeout 2400 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predict.err; tail -3 /tmp/hw_predict.err
 
@@ -38,3 +45,8 @@ SLIM_BENCH_BLOCK=1024 SLIM_COMPACT_BMAX=1024 SLIM_BENCH_REPS=1 \
 
 # 6. ADMM on the MXU at its native regime
 timeout 1800 python scripts/admm_bench.py 2>/tmp/hw_admm.err; tail -3 /tmp/hw_admm.err
+
+# 7. 2M-item single-chip demonstration (VERDICT r2 item 8): the G-free
+#    blockwise mode on the REAL chip with a 1-device mesh -- proves the
+#    memory-bounded screen holds on actual TPU HBM, not just virtual CPU
+timeout 2400 python scripts/amazon2m_dryrun.py 2>/tmp/hw_2m_chip.err; tail -3 /tmp/hw_2m_chip.err

@@ -269,10 +269,17 @@ class SLIM:
 
         # cache the dense device model only while it's small; beyond the
         # threshold predict_topn switches to the padded-sparse scoring path
-        # (n·R·8 bytes instead of n²·4) and manages its own device copy
-        from .predict import SPARSE_PREDICT_THRESHOLD, _bucket
+        # (n·R·8 bytes instead of n²·4) and manages its own device copy.
+        # When the catalogue is small enough that predict_topn would route
+        # to the native host kernel anyway (NATIVE_PREDICT_NPAD), skip the
+        # device copy entirely so the fallback can fire.
+        from .predict import (SPARSE_PREDICT_THRESHOLD, _bucket,
+                              native_predict_applicable)
         n = max(self.model.nrows, self.model.ncols)
-        if self._W_dev is None and _bucket(n) <= SPARSE_PREDICT_THRESHOLD:
+        if (self._W_dev is None and negitems is None
+                and native_predict_applicable(n)):
+            pass
+        elif self._W_dev is None and _bucket(n) <= SPARSE_PREDICT_THRESHOLD:
             self._W_dev = densify_model(self.model)
 
         if negitems is not None:

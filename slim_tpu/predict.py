@@ -147,6 +147,26 @@ def densify_model_device(model: CSR, npad: int):
 # 16GB HBM; switch to the padded-sparse scoring path
 SPARSE_PREDICT_THRESHOLD = 36864
 
+# small-catalogue serving: at ml100k scale (npad 2048) the reference's
+# per-user sparse loop (predict.c:40-66, reimplemented in
+# native/slimrt.cpp:slim_predict_topn) beats the device path ~35x on the
+# only hardware capture (BENCH_r01: 200,866 vs 5,712 users/s) -- the whole
+# job is smaller than the dispatch+tunnel overhead.  Up to this npad,
+# predict_topn auto-routes to the native host kernel when the caller did
+# not pin a path (no W_dev / sparse / scan / precision argument).
+# Override with SLIM_PREDICT_NATIVE_NPAD (0 disables the fallback).
+NATIVE_PREDICT_NPAD = 4096
+
+
+def native_predict_applicable(n: int) -> bool:
+    """True when :func:`predict_topn` would route an unpinned call for an
+    ``n``-item catalogue to the native host kernel."""
+    from . import native
+
+    thr = int(os.environ.get("SLIM_PREDICT_NATIVE_NPAD",
+                             NATIVE_PREDICT_NPAD))
+    return 0 < thr and _bucket(n) <= thr and native.available()
+
 # scoring-matmul precision: HIGHEST (exact f32, 6 bf16 passes on TPU) for
 # small catalogues where compute is negligible; DEFAULT (bf16 inputs, f32
 # accumulate -- 6x the MXU rate) above this npad, where the scores only
@@ -644,6 +664,15 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
 
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
+    # small-catalogue regime: route unpinned calls to the native host
+    # kernel (see NATIVE_PREDICT_NPAD).  Any explicit path choice -- a
+    # resident device model, sparse=, scan=, or precision= -- keeps the
+    # call on device (bench/tests pin their paths this way).
+    if (W_dev is None and sparse is None and scan is None
+            and precision is None and native_predict_applicable(n)):
+        from . import native
+
+        return native.predict_topn(model, hist, nrcmds=nrcmds)
     if sparse is None:
         sparse = (isinstance(W_dev, tuple)
                   or (W_dev is None and npad > SPARSE_PREDICT_THRESHOLD))
