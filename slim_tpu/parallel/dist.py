@@ -46,6 +46,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _host_fetch(x) -> np.ndarray:
+    """``np.asarray`` for device arrays that may span other processes'
+    devices (multi-controller meshes, e.g. a real TPU pod or the
+    2-process CI exercise): a sharded output is all-gathered through the
+    runtime first; fully-addressable arrays take the plain fetch."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 # --------------------------------------------------------------------- #
 # sharded Gram
 # --------------------------------------------------------------------- #
@@ -545,9 +557,9 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
             jax.device_put(yty, cols_spec),
             int(cfg.seed) + s0 // Bsup)
 
-        x_h = np.asarray(x)[:nJ]
-        st = np.stack([np.asarray(rnorm), np.asarray(obj),
-                       np.asarray(niters, np.float64)], axis=1)[:nJ]
+        x_h = _host_fetch(x)[:nJ]
+        st = np.stack([_host_fetch(rnorm), _host_fetch(obj),
+                       _host_fetch(niters).astype(np.float64)], axis=1)[:nJ]
         rows_b, cols_b = np.nonzero(np.abs(x_h) > EPSILON)
         vals_b = x_h[rows_b, cols_b].astype(np.float32)
         coords_perm = S[cols_b]
@@ -625,7 +637,7 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
             # FSLIM's top-k similarity needs the full per-column ATY
             aty, flags = screen_fn(lr_d, cc_d, vv_d,
                                    jax.device_put(jarr, repl), diag_dev)
-            return np.asarray(flags), aty
+            return _host_fetch(flags), aty
         # memory-bounded screen: union flags only, in column chunks of
         # (npad, chunk) -- ATY is never materialized at superblock width
         # (32GB at the 2M-item north star)
@@ -635,7 +647,7 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
             jc = np.full(screen_chunk, npad - 1, np.int32)
             jc[:m] = jarr[c0:c0 + m]
             fl = screen_flags_fn(lr_d, cc_d, vv_d, jax.device_put(jc, repl))
-            flags_h |= np.asarray(fl)
+            flags_h |= _host_fetch(fl)
         return flags_h, None
 
     def gs_cb(S, S_dev, K):
@@ -819,8 +831,12 @@ def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
         ge = gramb_fn(lr_d, cc_d, vv_d, np.int32(e * width))
         for s in ge.addressable_shards:
             tiles[s.index[0].start // width][e] = s.data
+    # each process assembles only the column shards of ITS devices (tile
+    # d lives on device d, which this process fills for every e); on a
+    # multi-controller mesh the remote tiles are simply not addressable
+    my_proc = jax.process_index()
     shards = [jnp.concatenate([t.T for t in tiles[d]], axis=0)
-              for d in range(ndev)]
+              for d in range(ndev) if devs[d].process_index == my_proc]
     G_sh = jax.make_array_from_single_device_arrays(
         (W_tot, W_tot), NamedSharding(mesh, P(None, ("dp", "mp"))), shards)
 
@@ -836,7 +852,7 @@ def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
             jc = np.full(screen_chunk, npad - 1, np.int32)
             jc[:m] = jarr[c0:c0 + m]
             fl = screen_fn(G_sh, jax.device_put(jc, repl))
-            flags_h |= np.asarray(fl)[:npad]
+            flags_h |= _host_fetch(fl)[:npad]
         return flags_h, None
 
     def gs_cb(S, S_dev, K):
