@@ -967,11 +967,11 @@ def sharded_predict(model: CSR, hist: CSR, mesh: Mesh, nrcmds: int = 10):
                             jax.device_put(bv, spec)))
         from ..predict import _unpack_topn
 
-        packed = np.concatenate([np.asarray(o) for o in packs])[:nusers]
+        packed = np.concatenate([_host_fetch(o) for o in packs])[:nusers]
         return _unpack_topn(packed, nrcmds)
     W = densify_model(model, npad)
     fn = make_sharded_predict(mesh, nrcmds)
     ids, scores, counts = fn(W, jax.device_put(hidx, spec),
                              jax.device_put(hval, spec))
-    return (np.asarray(ids)[:nusers], np.asarray(scores)[:nusers],
-            np.asarray(counts)[:nusers])
+    return (_host_fetch(ids)[:nusers], _host_fetch(scores)[:nusers],
+            _host_fetch(counts)[:nusers])

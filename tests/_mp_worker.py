@@ -66,9 +66,17 @@ def main():
         model, stats = distributed_learn_sharded_g(train, cfg, mesh)
     else:
         raise SystemExit(f"unknown mode {mode}")
+
+    # sharded serving across the process boundary: users sharded over the
+    # grid, fetched through _host_fetch (dense path at this toy npad)
+    from slim_tpu.parallel.dist import sharded_predict
+
+    ids, scores, counts = sharded_predict(model, train, mesh, nrcmds=5)
     print("RESULT " + json.dumps({
         "pid": pid, "nproc": nproc, "ndev": ndev,
         "loss": float(stats["loss"]), "nnz": int(stats["nnz"]),
+        "pred_ids_sum": int(ids[ids >= 0].sum()),
+        "pred_counts_sum": int(counts.sum()),
         "process_count": jax.process_count()}), flush=True)
 
 

@@ -76,6 +76,9 @@ def test_two_process_distributed_learn_matches_single(mode):
     assert results[0]["nnz"] == results[1]["nnz"]
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"],
                                rtol=1e-6)
+    assert results[0]["pred_ids_sum"] == results[1]["pred_ids_sum"]
+    assert results[0]["pred_counts_sum"] == results[1]["pred_counts_sum"]
+    assert results[0]["pred_counts_sum"] > 0
     ref_loss, ref_nnz = _single_process_reference()
     np.testing.assert_allclose(results[0]["loss"], ref_loss, rtol=1e-5)
     assert abs(results[0]["nnz"] - ref_nnz) <= max(3, ref_nnz * 0.01)
