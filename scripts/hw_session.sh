@@ -20,8 +20,8 @@ SLIM_HARVEST_CHUNK=0 SLIM_BENCH_REPS=1 timeout 1800 python bench.py 2>/tmp/hw_be
 #       (1.7k = ml100k scale where round-1 measured the device losing 35x,
 #        27k = ML-20M scale); cheap, and they calibrate the native-fallback
 #        dispatch threshold in predict.py
-SLIM_BENCH_REPS=2 timeout 1200 python scripts/predict_large_bench.py 1700 100000 2>/tmp/hw_predict1p7k.err; tail -3 /tmp/hw_predict1p7k.err
-SLIM_BENCH_REPS=2 timeout 1200 python scripts/predict_large_bench.py 27000 100000 2>/tmp/hw_predict27k.err; tail -3 /tmp/hw_predict27k.err
+SLIM_PREDICT_BENCH_DENSE=1 SLIM_BENCH_REPS=2 timeout 1200 python scripts/predict_large_bench.py 1700 100000 2>/tmp/hw_predict1p7k.err; tail -3 /tmp/hw_predict1p7k.err
+SLIM_PREDICT_BENCH_DENSE=1 SLIM_BENCH_REPS=2 timeout 1200 python scripts/predict_large_bench.py 27000 100000 2>/tmp/hw_predict27k.err; tail -3 /tmp/hw_predict27k.err
 
 # 3. large-catalogue predict (262k items, 100k users) vs native CPU
 timeout 2400 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predict.err; tail -3 /tmp/hw_predict.err

@@ -32,7 +32,8 @@ if os.environ.get("JAX_PLATFORMS"):
 
 def main():
     from slim_tpu import native
-    from slim_tpu.predict import predict_topn, sparsify_model_device
+    from slim_tpu.predict import (densify_model, predict_topn,
+                                  sparsify_model_device)
     from slim_tpu.types import CSR
     from slim_tpu.utils import enable_compilation_cache
 
@@ -55,18 +56,28 @@ def main():
     print(f"[bench] model {n}x{n} nnz={model.nnz}  "
           f"users {nusers} hist nnz={hist.nnz}", file=sys.stderr, flush=True)
 
+    # SLIM_PREDICT_BENCH_DENSE=1 measures the dense-W device path instead
+    # (the device's best path for small catalogues -- use it for the
+    # crossover points of the serving table, where the sparse scan would
+    # understate the device side)
+    dense = os.environ.get("SLIM_PREDICT_BENCH_DENSE") == "1"
     t0 = time.perf_counter()
-    Wsp = sparsify_model_device(model)
-    Wsp[0].block_until_ready()
-    print(f"[bench] sparsify (one-time model upload+build) "
-          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    if dense:
+        W_dev = densify_model(model)
+        kw = {"W_dev": W_dev, "sparse": False}
+    else:
+        W_dev = sparsify_model_device(model)
+        W_dev[0].block_until_ready()
+        kw = {"W_dev": W_dev, "scan": True}
+    print(f"[bench] {'densify' if dense else 'sparsify'} (one-time model "
+          f"upload+build) {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
-    predict_topn(model, hist, nrcmds=10, W_dev=Wsp, scan=True)  # warm
+    predict_topn(model, hist, nrcmds=10, **kw)  # warm
     best = float("inf")
     for r in range(reps):
         t0 = time.perf_counter()
-        ids, scores, counts = predict_topn(model, hist, nrcmds=10,
-                                           W_dev=Wsp, scan=True)
+        ids, scores, counts = predict_topn(model, hist, nrcmds=10, **kw)
         dt = time.perf_counter() - t0
         print(f"[bench] device repeat {r}: {dt:.2f}s", file=sys.stderr,
               flush=True)
@@ -85,6 +96,7 @@ def main():
 
     out = {"metric": "predict_large_users_per_sec", "value": round(dev_ups, 1),
            "unit": "users/sec", "nitems": n, "nusers": nusers,
+           "device_path": "dense" if dense else "sparse",
            "model_nnz": int(model.nnz),
            "cpu_users_per_sec": round(cpu_ups, 1) if cpu_ups else None,
            "vs_baseline": round(dev_ups / cpu_ups, 3) if cpu_ups else None}
