@@ -118,3 +118,29 @@ def test_ml100k_jax_path_quality_golden():
     res = _eval(model, trn, tst)
     assert abs(res.hr - ML100K_HR) < 0.01
     assert abs(res.arhr - ML100K_ARHR) < 0.008
+
+
+@pytest.mark.skipif(not reference_data_available(),
+                    reason="reference sample data not present")
+def test_automotive_jax_path_quality_golden():
+    """Second reference-shaped pin of the JAX learn path: the Automotive
+    ijv workload (2928x1835, explicit ratings -- the README 'Getting
+    started' dataset).  Values cross-checked against the CLI drive in
+    .claude/skills/verify (nnz ~84k, loss ~1.117e5, hr ~0.106)."""
+    trn = read_matrix(os.path.join(REFERENCE_TEST_DIR, "AutomotiveTrain.ijv"),
+                      fmt="ijv").infer_ncols()
+    tst = read_matrix(os.path.join(REFERENCE_TEST_DIR, "AutomotiveTest.ijv"),
+                      fmt="ijv").infer_ncols()
+    model, stats = learn(trn, SlimConfig(l1r=1.0, l2r=1.0))
+    np.testing.assert_allclose(stats["loss"], 111699.14, rtol=1e-4)
+    assert abs(stats["nnz"] - 84320) <= 84320 * 0.01
+    n = max(trn.ncols, tst.ncols, model.ncols)
+    res = _eval_aligned(model, trn.with_ncols(n), tst.with_ncols(n), n)
+    assert abs(res.hr - 0.105874) < 0.01
+    assert abs(res.arhr - 0.052954) < 0.008
+
+
+def _eval_aligned(model, trn, tst, n):
+    ids, _, counts = predict_topn(model, trn, nrcmds=10)
+    fm = determine_head_tail(trn, n)
+    return evaluate_topn(ids, counts, tst, fm)
