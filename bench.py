@@ -192,33 +192,58 @@ def bench_cpu_predict(train, model, repeats=3):
     return train.nrows / best
 
 
+def workload_name():
+    """The workload name main() will report, derivable WITHOUT importing
+    jax (the device-down marker must carry the same metric name a
+    successful run of the same command would)."""
+    if os.environ.get("SLIM_BENCH_SMALL") == "1":
+        return ("ml100k" if os.path.exists(
+            os.path.join(REFERENCE_TEST_DIR, "ml100k.cluto"))
+            else "synthetic-ml100k")
+    if os.environ.get("SLIM_BENCH_LARGE") == "1":
+        return "synthetic-50kx10k"
+    return "ml20m-synth"
+
+
 def wait_for_device(max_wait_s):
     """Bounded device-alive probe.  This machine's known failure mode is a
     TPU-relay outage that blackholes every process touching the backend
     (``import jax`` itself hangs), so the probe MUST run in a subprocess
     under a timeout -- probing in-process would hang the bench forever.
     Retries with a 60s period until the device answers or the budget runs
-    out.  Returns True when alive.  Skipped when JAX is pinned to CPU."""
+    out.  Returns (alive, error).  A probe that fails FAST is not an
+    outage (blackholed probes hang) -- broken env / import errors bail
+    after 3 consecutive fast failures with the probe's stderr instead of
+    burning the whole budget.  Skipped when JAX is pinned to CPU."""
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        return True
+        return True, None
     probe = [sys.executable, "-c",
              "import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones((8, 8)))))"]
     deadline = time.monotonic() + max_wait_s
-    attempt = 0
+    attempt = fast_failures = 0
     while True:
         attempt += 1
+        t0 = time.monotonic()
         try:
             r = subprocess.run(probe, capture_output=True, timeout=120)
             if r.returncode == 0:
                 if attempt > 1:
                     log(f"[bench] device answered on probe {attempt}")
-                return True
+                return True, None
+            if time.monotonic() - t0 < 15:
+                fast_failures += 1
+                tail = r.stderr.decode(errors="replace").strip()[-500:]
+                if fast_failures >= 3:
+                    return False, f"probe failed fast (not an outage): {tail}"
+            else:
+                fast_failures = 0
         except subprocess.TimeoutExpired:
-            pass
+            fast_failures = 0
         remaining = deadline - time.monotonic()
         if remaining <= 0:
-            return False
+            return False, (f"TPU backend unreachable after "
+                           f"{max_wait_s:.0f}s of probing")
         log(f"[bench] device probe {attempt} failed; retrying "
             f"({remaining / 60:.0f} min left in budget)")
         time.sleep(min(60, max(1, remaining)))
@@ -229,12 +254,13 @@ def main():
     # before the workload, and on a dead device emit a clean machine-readable
     # marker instead of a hang or a stack trace.
     probe_s = float(os.environ.get("SLIM_BENCH_PROBE_S", "1800"))
-    if not wait_for_device(probe_s):
+    alive, err = wait_for_device(probe_s)
+    if not alive:
         print(json.dumps({
-            "metric": "ml20m-synth_cd_item_columns_per_sec",
+            "metric": f"{workload_name()}_cd_item_columns_per_sec",
             "value": None, "unit": "columns/sec", "vs_baseline": None,
             "device_down": True,
-            "error": f"TPU backend unreachable after {probe_s:.0f}s of probing",
+            "error": err,
         }))
         return
 

@@ -64,6 +64,7 @@ def main():
     t0 = time.perf_counter()
     if dense:
         W_dev = densify_model(model)
+        W_dev.block_until_ready()
         kw = {"W_dev": W_dev, "sparse": False}
     else:
         W_dev = sparsify_model_device(model)

@@ -275,7 +275,8 @@ class SLIM:
         # device copy entirely so the fallback can fire.
         from .predict import (SPARSE_PREDICT_THRESHOLD, _bucket,
                               native_predict_applicable)
-        n = max(self.model.nrows, self.model.ncols)
+        # same n as predict_topn's own routing (model dims + history width)
+        n = max(self.model.nrows, self.model.ncols, data.mat.ncols)
         if (self._W_dev is None and negitems is None
                 and native_predict_applicable(n)):
             pass

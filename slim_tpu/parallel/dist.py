@@ -58,6 +58,18 @@ def _host_fetch(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def _host_fetch_all(*xs):
+    """Fetch several arrays with at most ONE cross-process collective
+    (process_allgather takes a pytree) instead of one per array."""
+    if all(not isinstance(x, jax.Array) or x.is_fully_addressable
+           for x in xs):
+        return tuple(np.asarray(x) for x in xs)
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.process_allgather(tuple(xs), tiled=True)
+    return tuple(np.asarray(a) for a in out)
+
+
 # --------------------------------------------------------------------- #
 # sharded Gram
 # --------------------------------------------------------------------- #
@@ -557,9 +569,11 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
             jax.device_put(yty, cols_spec),
             int(cfg.seed) + s0 // Bsup)
 
-        x_h = _host_fetch(x)[:nJ]
-        st = np.stack([_host_fetch(rnorm), _host_fetch(obj),
-                       _host_fetch(niters).astype(np.float64)], axis=1)[:nJ]
+        x_h, rnorm_h, obj_h, niters_h = _host_fetch_all(x, rnorm, obj,
+                                                        niters)
+        x_h = x_h[:nJ]
+        st = np.stack([rnorm_h, obj_h,
+                       niters_h.astype(np.float64)], axis=1)[:nJ]
         rows_b, cols_b = np.nonzero(np.abs(x_h) > EPSILON)
         vals_b = x_h[rows_b, cols_b].astype(np.float32)
         coords_perm = S[cols_b]

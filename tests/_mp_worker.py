@@ -8,19 +8,19 @@ single-process virtual-mesh tests never exercise (VERDICT r2 missing #4).
 
 Usage: python tests/_mp_worker.py <process_id> <num_processes> <port> <mode>
 Prints one "RESULT <json>" line on success.
+
+Importable WITHOUT side effects (the test process imports toy_train): env
+mutations and the jax import happen only when run as a script.
 """
 
 import json
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-os.environ.setdefault("SLIM_PREDICT_NATIVE_NPAD", "0")
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ.setdefault("SLIM_PREDICT_NATIVE_NPAD", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,6 +40,10 @@ def toy_train():
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     pid, nproc, port, mode = (int(sys.argv[1]), int(sys.argv[2]),
                               sys.argv[3], sys.argv[4])
     from slim_tpu.parallel.mesh import init_distributed, make_mesh

@@ -21,11 +21,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# pin the JAX predict paths: the native small-catalogue serving fallback
-# (predict.NATIVE_PREDICT_NPAD) would otherwise hijack every small test
-# matrix and the suite would stop exercising the device code.  The
-# dispatch itself is tested explicitly in test_native.py.
-os.environ.setdefault("SLIM_PREDICT_NATIVE_NPAD", "0")
+# pin the JAX predict paths (hard set, not setdefault: an ambient shell
+# value must not silently reroute the suite off the device code): the
+# native small-catalogue serving fallback (predict.NATIVE_PREDICT_NPAD)
+# would otherwise hijack every small test matrix.  The dispatch itself is
+# tested explicitly in test_native.py via monkeypatch.
+os.environ["SLIM_PREDICT_NATIVE_NPAD"] = "0"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -57,8 +57,8 @@ def _run_workers(mode: str, nproc: int = 2, timeout: int = 300):
 
 
 def _single_process_reference():
-    sys.path.insert(0, os.path.dirname(HERE))
-    import _mp_worker
+    sys.path.insert(0, HERE)
+    import _mp_worker  # side-effect-free import (env writes are __main__-only)
 
     from slim_tpu.api import learn
     from slim_tpu.config import SlimConfig
