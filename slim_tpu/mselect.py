@@ -37,9 +37,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _learn_with_gram(train, cfg, imodel, gram):
+def _learn_with_gram(train, cfg, imodel, gram, g_replicas=None):
     if cfg.algo == "cd":
-        return estimate_model_cd(train, cfg, imodel=imodel, gram=gram)
+        return estimate_model_cd(train, cfg, imodel=imodel, gram=gram,
+                                 g_replicas=g_replicas)
     return estimate_model_admm(train, cfg, imodel=imodel, gram=gram)
 
 
@@ -49,9 +50,16 @@ def _eval_point(model, train, test, fmarker, nrcmds):
 
 
 def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
-                 keep_models: bool = False, point_callback=None):
+                 keep_models: bool = False, point_callback=None,
+                 mesh=None):
     """Walk ``points`` = [(l1, l2), ...] with warm starts; returns the
-    per-point results plus the best-by-HR / best-by-ARHR summaries."""
+    per-point results plus the best-by-HR / best-by-ARHR summaries.
+
+    ``mesh``: a jax.sharding.Mesh runs every point's solves distributed
+    (the psum'd sparse Gram is computed ONCE and its per-device replicas
+    are shared by the whole sweep, like the single-device Gram reuse);
+    warm starting across points is preserved.  CD only -- the ADMM sweep
+    is a dense single-device program."""
     train = train.infer_ncols()
     test = test.infer_ncols()
     # align column spaces (slim_mselect.c:52-54, pyapi.c:256-258)
@@ -63,7 +71,17 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
 
     from .solvers.cd import bucket_npad
     npad = bucket_npad(ncols)
-    gram = compute_gram(train, cfg.gram, pad_to=npad)
+    g_replicas = None
+    if mesh is not None:
+        if cfg.algo != "cd":
+            raise ValueError("mesh-distributed mselect supports algo='cd'")
+        from .parallel.dist import sharded_gram_sparse
+
+        g = sharded_gram_sparse(train, mesh, pad_to=npad)
+        g_replicas = [s.data for s in g.addressable_shards]
+        gram = None
+    else:
+        gram = compute_gram(train, cfg.gram, pad_to=npad)
 
     results = []
     model = None
@@ -75,7 +93,8 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
         pcfg = cfg.replace(l1r=float(l1), l2r=float(l2))
         t0 = time.perf_counter()
         imodel = model
-        model, stats = _learn_with_gram(train, pcfg, imodel, gram)
+        model, stats = _learn_with_gram(train, pcfg, imodel, gram,
+                                        g_replicas=g_replicas)
         t_learn = time.perf_counter() - t0
 
         ev = _eval_point(model, train, test, fmarker, cfg.nrcmds)
@@ -108,13 +127,14 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
 
 
 def mselect_pairs(train: CSR, test: CSR, cfg: SlimConfig, pairs,
-                  point_callback=None):
+                  point_callback=None, mesh=None):
     """CLI-style sweep over an explicit pair list (slim_mselect.c:99-203)."""
-    return mselect_core(train, test, cfg, pairs, point_callback=point_callback)
+    return mselect_core(train, test, cfg, pairs,
+                        point_callback=point_callback, mesh=mesh)
 
 
 def mselect_grid(train: CSR, test: CSR, cfg: SlimConfig, arrayl1, arrayl2,
-                 parallel: bool = False):
+                 parallel: bool = False, mesh=None):
     """Python-package-style full cross product (pyapi.c:286-399): the inner
     loop walks l2 for each l1, warm-starting from the previous model.
 
@@ -125,7 +145,7 @@ def mselect_grid(train: CSR, test: CSR, cfg: SlimConfig, arrayl1, arrayl2,
     """
     points = [(l1, l2) for l1 in arrayl1 for l2 in arrayl2]
     if not parallel:
-        return mselect_core(train, test, cfg, points)
+        return mselect_core(train, test, cfg, points, mesh=mesh)
 
     from .solvers.cd import estimate_grid_cd
 

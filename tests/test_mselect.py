@@ -52,3 +52,21 @@ def test_parallel_grid_matches_sequential():
         np.testing.assert_allclose(rs["hr"], rp["hr"], atol=1e-6)
         assert abs(rs["nnz"] - rp["nnz"]) <= max(2, 0.01 * rs["nnz"])
     assert par["bestl1HR"] == seq["bestl1HR"]
+
+def test_mesh_mselect_matches_single_device():
+    """mesh= runs every point's solves distributed with ONE shared psum'd
+    Gram and preserved warm starts; results must match the single-device
+    sweep (same screening/caps => same models up to f32 order)."""
+    from slim_tpu.parallel.mesh import make_mesh
+
+    trn, tst = _data(29)
+    cfg = SlimConfig(optTol=1e-9, nrcmds=5, block_size=8, shuffle=False)
+    pairs = [(0.2, 0.5), (1.0, 0.5)]
+    solo = mselect_pairs(trn, tst, cfg, pairs)
+    dist = mselect_pairs(trn, tst, cfg, pairs, mesh=make_mesh(8))
+    for rs, rd in zip(solo["results"], dist["results"]):
+        assert rs["l1r"] == rd["l1r"]
+        np.testing.assert_allclose(rs["hr"], rd["hr"], atol=1e-6)
+        np.testing.assert_allclose(rs["arhr"], rd["arhr"], atol=1e-6)
+        assert abs(rs["nnz"] - rd["nnz"]) <= max(2, 0.01 * rs["nnz"])
+    assert solo["bestl1HR"] == dist["bestl1HR"]
