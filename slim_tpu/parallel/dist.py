@@ -510,6 +510,19 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
     use_warm = imodel is not None and cfg.mtype in ("slim", "oslim")
     imodel_csc = imodel.transpose() if use_warm else None
 
+    # failure recovery at pod scale: per-superblock checkpoint/resume,
+    # same signature-keyed store as the single-device driver (solves are
+    # idempotent; restart = re-solve missing superblocks only).  In
+    # multi-controller runs checkpoint_dir must be a SHARED filesystem --
+    # every process must make the same skip decisions or the collectives
+    # deadlock.
+    ckpt = None
+    if getattr(cfg, "checkpoint_dir", ""):
+        from ..solvers.cd import _Checkpoint
+
+        ckpt = _Checkpoint(cfg, train, n, imodel if use_warm else None,
+                           extra=f"dist:{Bsup}".encode())
+
     total_err = total_obj = 0.0
     total_niters = 0
     coord_ids, target_ids, out_vals = [], [], []
@@ -517,6 +530,19 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
     import time as _time
 
     for s0 in range(0, n_eff, Bsup):
+        blk = s0 // Bsup
+        if ckpt is not None:
+            hit = ckpt.load(blk)
+            if hit is not None:
+                coord, target, vals, err, obj_, nit = hit
+                coord_ids.append(coord)
+                target_ids.append(target)
+                out_vals.append(vals)
+                total_err += err
+                total_obj += obj_
+                total_niters += nit
+                logger.info("superblock %d: resumed from checkpoint", blk + 1)
+                continue
         _t0 = _time.perf_counter()
         nJ = min(Bsup, n_eff - s0)
         jarr = np.full(Bsup, npad - 1, dtype=np.int32)
@@ -578,12 +604,21 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
         vals_b = x_h[rows_b, cols_b].astype(np.float32)
         coords_perm = S[cols_b]
         keep = coords_perm < n
-        coord_ids.append(p[coords_perm[keep]])
-        target_ids.append(p[s0 + rows_b[keep]])
-        out_vals.append(vals_b[keep])
-        total_err += float(st[:, 0].sum())
-        total_obj += float(st[:, 1].sum())
-        total_niters += int(st[:, 2].sum())
+        blk_coord = p[coords_perm[keep]]
+        blk_target = p[s0 + rows_b[keep]]
+        blk_vals = vals_b[keep]
+        blk_err = float(st[:, 0].sum())
+        blk_obj = float(st[:, 1].sum())
+        blk_nit = int(st[:, 2].sum())
+        coord_ids.append(blk_coord)
+        target_ids.append(blk_target)
+        out_vals.append(blk_vals)
+        total_err += blk_err
+        total_obj += blk_obj
+        total_niters += blk_nit
+        if ckpt is not None:
+            ckpt.save(blk, blk_coord, blk_target, blk_vals, blk_err,
+                      blk_obj, blk_nit)
         _t_end = _time.perf_counter()
         logger.info(
             "superblock %d/%d: K=%d screen %.2fs solve+harvest %.2fs",

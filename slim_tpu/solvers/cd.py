@@ -187,11 +187,15 @@ class _Checkpoint:
     """
 
     def __init__(self, cfg: SlimConfig, train: CSR, n: int,
-                 imodel: CSR | None = None):
+                 imodel: CSR | None = None, extra: bytes = b""):
         import hashlib
         import os
 
         h = hashlib.sha256()
+        # mode discriminator (e.g. distributed superblock width): the same
+        # (data, cfg) under a different block decomposition must not share
+        # checkpoint files
+        h.update(extra)
         h.update(np.asarray([train.nrows, n, train.nnz]).tobytes())
         h.update(train.indptr[:: max(1, train.nrows // 64)].tobytes())
         # sample the actual entries too: same-profile datasets (and the
