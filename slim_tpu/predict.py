@@ -582,6 +582,12 @@ def sparsify_model_device(model: CSR, npad: int | None = None):
     shipping the npad·R·8 host-built arrays through the tunnel): row ids
     recovered by a searchsorted over the indptr, in-row position by
     subtracting the row start, then one scatter per output array.
+
+    ``SLIM_PREDICT_WVAL_BF16=1`` stores Wval as bfloat16 (model HBM
+    npad·R·6 instead of ·8 and half the value-gather bandwidth at 2M-item
+    scale); scores still multiply/accumulate in f32, so only the model
+    weights round (~2^-8 relative) -- the same trade the dense path makes
+    above ``_BF16_SCORE_NPAD``.
     """
     import jax
     import jax.numpy as jnp
@@ -592,7 +598,8 @@ def sparsify_model_device(model: CSR, npad: int | None = None):
     R = _pow2ceil(max(int(nnz_row.max()) if model.nrows else 1, 1))
     T = _pow2ceil(max(int(model.nnz), 1))
     nrows = model.nrows
-    key = (npad, R, T, nrows)
+    bf16 = os.environ.get("SLIM_PREDICT_WVAL_BF16") == "1"
+    key = (npad, R, T, nrows, bf16)
     fn = _sparsify_fns.get(key)
     if fn is None:
         @jax.jit
@@ -606,8 +613,10 @@ def sparsify_model_device(model: CSR, npad: int | None = None):
             Wi = jnp.full((npad, R), npad - 1, jnp.int32).at[
                 rows_s, pos].set(idx.astype(jnp.int32), mode="drop",
                                  unique_indices=True)
-            Wv = jnp.zeros((npad, R), jnp.float32).at[
-                rows_s, pos].set(val, mode="drop", unique_indices=True)
+            vdt = jnp.bfloat16 if bf16 else jnp.float32
+            Wv = jnp.zeros((npad, R), vdt).at[
+                rows_s, pos].set(val.astype(vdt), mode="drop",
+                                 unique_indices=True)
             return Wi, Wv
 
         fn = _sparsify_fns[key] = build

@@ -411,3 +411,31 @@ def test_topk_wide_matches_single_pass_at_bucketed_npads():
     np.testing.assert_allclose(np.asarray(ts), np.asarray(rs))
     # ids may differ on exact ties only; values above rule that out here
     np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+
+def test_sparse_model_bf16_values(rng, monkeypatch):
+    """SLIM_PREDICT_WVAL_BF16=1 stores the resident sparse model's values
+    as bfloat16 (half the value HBM/bandwidth); scores still accumulate
+    in f32, so results match the f32 model to bf16 rounding."""
+    from conftest import random_csr
+    from slim_tpu.predict import predict_topn, sparsify_model_device
+
+    model = random_csr(rng, 80, 80, density=0.15, seed=501)
+    hist = random_csr(rng, 25, 80, density=0.2, seed=502)
+
+    Wf = sparsify_model_device(model)
+    assert str(Wf[1].dtype) == "float32"
+    fi, fsc, fc = predict_topn(model, hist, nrcmds=6, W_dev=Wf, sparse=True)
+
+    monkeypatch.setenv("SLIM_PREDICT_WVAL_BF16", "1")
+    Wb = sparsify_model_device(model)
+    assert str(Wb[1].dtype) == "bfloat16"
+    bi, bsc, bc = predict_topn(model, hist, nrcmds=6, W_dev=Wb, sparse=True)
+
+    np.testing.assert_array_equal(fc, bc)
+    np.testing.assert_allclose(bsc, fsc, rtol=2e-2, atol=1e-3)
+    # ranked ids may only swap at bf16-rounding-scale score gaps
+    for u in range(hist.nrows):
+        k = int(fc[u])
+        same = set(fi[u][:k]) & set(bi[u][:k])
+        assert len(same) >= k - 1
