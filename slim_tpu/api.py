@@ -282,6 +282,13 @@ class SLIM:
             pass
         elif self._W_dev is None and _bucket(n) <= SPARSE_PREDICT_THRESHOLD:
             self._W_dev = densify_model(self.model)
+        elif self._W_dev is None:
+            # above the dense threshold the serving pattern still wants a
+            # RESIDENT model: cache the padded-row (Widx, Wval) tuple so
+            # repeated predict calls don't re-upload/rebuild it
+            from .predict import sparsify_model_device
+
+            self._W_dev = sparsify_model_device(self.model)
 
         if negitems is not None:
             if nnegs < nrcmds:

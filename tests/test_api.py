@@ -115,3 +115,30 @@ def test_automotive_end_to_end():
     assert res.hr > 0.08, f"implausibly low HR@10: {res.hr}"
     assert res.arhr > 0.035
     assert stats["fit"] < stats["loss"]
+
+
+def test_predict_caches_resident_sparse_model(rng, monkeypatch):
+    """Above the dense threshold SLIM.predict must cache the padded-row
+    (Widx, Wval) tuple so repeated serving calls don't rebuild/re-upload
+    the model; results must match the dense path."""
+    import slim_tpu.predict as P
+
+    monkeypatch.setattr(P, "SPARSE_PREDICT_THRESHOLD", 64)
+    mat = random_csr(rng, 60, 100, density=0.15, seed=610)
+    trn = SLIMatrix(mat.to_scipy())
+    s = SLIM()
+    s.train({"l1r": 1.0, "l2r": 1.0, "niters": 100}, trn)
+
+    out = s.predict(trn, nrcmds=5)
+    assert isinstance(s._W_dev, tuple)          # resident sparse model
+    first = s._W_dev
+    out2 = s.predict(trn, nrcmds=5)
+    assert s._W_dev is first                    # reused, not rebuilt
+    for k in out:
+        np.testing.assert_array_equal(out[k], out2[k])
+
+    # parity with the dense-W path on the same model
+    di, dsc, dc = predict_topn(s.model, mat, nrcmds=5, sparse=False)
+    si, ssc, sc = predict_topn(s.model, mat, nrcmds=5, W_dev=first)
+    np.testing.assert_array_equal(dc, sc)
+    np.testing.assert_allclose(dsc, ssc, rtol=1e-5, atol=1e-6)
