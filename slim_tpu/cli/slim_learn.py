@@ -34,6 +34,11 @@ def main(argv=None):
                         help="model file used to warm-start")
     parser.add_argument("--blocksize", type=int, default=256,
                         help="item columns per device batch (TPU knob)")
+    parser.add_argument("--dist", default="none",
+                        choices=["none", "replicated", "blockwise",
+                                 "sharded_g"],
+                        help="distributed learn over all visible devices "
+                             "(TPU knob; see docs/MANUAL.md §7)")
     parser.add_argument("trnfile")
     parser.add_argument("mdlfile", nargs="?", default="slim.model")
     args = parser.parse_args(normalise_argv(sys.argv[1:] if argv is None
@@ -69,7 +74,22 @@ def main(argv=None):
         nnbrs=args.nnbrs, simtype=args.simtype, algo=args.algo,
         ordered=int(args.ordered), dbglvl=args.dbglvl,
         nthreads=args.nthreads, block_size=args.blocksize)
-    model, stats = learn(tmat, cfg, imodel=imodel)
+    if args.dist != "none":
+        import time as _time
+
+        from ..parallel.dist import (distributed_learn,
+                                     distributed_learn_blockwise,
+                                     distributed_learn_sharded_g)
+        from ..parallel.mesh import make_mesh
+
+        fn = {"replicated": distributed_learn,
+              "blockwise": distributed_learn_blockwise,
+              "sharded_g": distributed_learn_sharded_g}[args.dist]
+        t0 = _time.perf_counter()
+        model, stats = fn(tmat, cfg, make_mesh(), imodel=imodel)
+        stats.setdefault("learn_s", _time.perf_counter() - t0)
+    else:
+        model, stats = learn(tmat, cfg, imodel=imodel)
 
     if args.mdlfile:
         write_matrix(model, args.mdlfile, fmt=args.ifmt

