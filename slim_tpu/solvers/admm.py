@@ -137,6 +137,12 @@ def estimate_model_admm(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     n = train.ncols
     npad = _round_up(n + 1, 128)
+    if train.nnz == 0:
+        model = CSR.from_ijv(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32), nrows=n, ncols=n,
+                             no_duplicates=True)
+        return model, {"loss": 0.0, "fit": 0.0, "ffrac": 0.0, "nnz": 0,
+                       "density": 0.0}
     T = gram if gram is not None else compute_gram(train, cfg.gram, pad_to=npad)
 
     W, err, obj = admm_solve(T, float(cfg.l1r), float(cfg.l2r), n)

@@ -349,6 +349,15 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     npad = bucket_npad(n)
     B = int(cfg.block_size)
 
+    if train.nnz == 0:
+        # degenerate input: the model is empty and the objective zero
+        # (the reference's screen finds no active columns anywhere)
+        model = CSR.from_ijv(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32), nrows=n, ncols=n,
+                             no_duplicates=True)
+        return model, {"loss": 0.0, "fit": 0.0, "ffrac": 0.0, "nnz": 0,
+                       "niters": 0}
+
     nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
     _mark("colcounts")

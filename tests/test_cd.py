@@ -181,3 +181,19 @@ def test_cd_deterministic_across_runs():
     np.testing.assert_array_equal(m1.to_scipy().toarray(),
                                   m2.to_scipy().toarray())
     assert s1["loss"] == s2["loss"]
+
+
+def test_empty_training_matrix():
+    """Degenerate input: zero nnz must yield an empty model with zero
+    objective (not a crash in the device Gram), for both solvers."""
+    from slim_tpu.api import get_topn, learn
+    from slim_tpu.types import CSR
+
+    empty = CSR.from_ijv(np.zeros(0, int), np.zeros(0, int),
+                         np.zeros(0, np.float32), 5, 7)
+    for algo in ("cd", "admm"):
+        model, stats = learn(empty, SlimConfig(algo=algo))
+        assert stats["nnz"] == 0 and stats["loss"] == 0.0
+        assert model.nrows == model.ncols == 7
+    ids, _, counts = get_topn(model, empty, nrcmds=3)
+    assert counts.sum() == 0 and (ids == -1).all()
