@@ -137,6 +137,12 @@ from slim_tpu import native
 if native.available():
     nids, nsc, ncnt = native.predict_topn(mdl2, train_csr, nrcmds=10)
 
+# Small catalogues route to the native kernel AUTOMATICALLY: an unpinned
+# predict_topn call (no W_dev/sparse/scan/precision) with npad <=
+# SLIM_PREDICT_NATIVE_NPAD (default 4096) uses the host loop, where the
+# whole job costs less than one device dispatch.  Set the env var to 0
+# to force everything onto the device.
+
 # --------------------------------------------------------------------- #
 # 9. Multi-chip SPMD (works on any jax.sharding.Mesh; here: CPU devices)
 # --------------------------------------------------------------------- #
@@ -168,6 +174,12 @@ if len(jax.devices()) > 1:
         train_csr, SlimConfig(l1r=1.0, l2r=1.0, block_size=64), mesh)
     # users sharded over the grid, W replicated
     dids, dsc, dcnt = sharded_predict(dmodel, train_csr, mesh, nrcmds=10)
+    # distributed model selection: one psum'd Gram shared by the whole
+    # sweep, solves fanned out over the mesh, warm starts preserved
+    from slim_tpu.mselect import mselect_pairs
+    sweep = mselect_pairs(train_csr, train_csr,
+                          SlimConfig(optTol=1e-7, nrcmds=5),
+                          [(0.5, 0.5), (1.0, 0.5)], mesh=mesh)
 
 # Multi-host: call slim_tpu.parallel.mesh.init_distributed() once per
 # process (wraps jax.distributed.initialize), then build the Mesh over
