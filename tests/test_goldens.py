@@ -144,3 +144,39 @@ def _eval_aligned(model, trn, tst, n):
     ids, _, counts = predict_topn(model, trn, nrcmds=10)
     fm = determine_head_tail(trn, n)
     return evaluate_topn(ids, counts, tst, fm)
+
+
+@pytest.mark.skipif(not reference_data_available(),
+                    reason="reference sample data not present")
+def test_ml100k_fslim_quality_golden():
+    """FSLIM (nnbrs=50, cos) on ml100k through the JAX path: the
+    neighbour-restricted screen must keep its quality (slightly below
+    unrestricted SLIM's 0.319 with a 2.25x sparser model)."""
+    trn = read_matrix(os.path.join(REFERENCE_TEST_DIR, "ml100k-train.csr"),
+                      fmt="csr").infer_ncols()
+    tst = read_matrix(os.path.join(REFERENCE_TEST_DIR, "ml100k-test.csr"),
+                      fmt="csr").infer_ncols()
+    model, stats = learn(trn, SlimConfig(l1r=1.0, l2r=1.0, nnbrs=50,
+                                         simtype="cos"))
+    np.testing.assert_allclose(stats["loss"], 24237.69, rtol=1e-4)
+    assert abs(stats["nnz"] - 29268) <= 29268 * 0.01
+    res = _eval(model, trn, tst)
+    assert abs(res.hr - 0.310493) < 0.01
+    assert abs(res.arhr - 0.147516) < 0.008
+
+
+@pytest.mark.skipif(not reference_data_available(),
+                    reason="reference sample data not present")
+def test_ml100k_admm_quality_golden():
+    """ADMM (fixed rho=10000, 30 iterations -- deterministic) on ml100k:
+    loss and quality pinned exactly (no run-to-run shuffle variance)."""
+    trn = read_matrix(os.path.join(REFERENCE_TEST_DIR, "ml100k-train.csr"),
+                      fmt="csr").infer_ncols()
+    tst = read_matrix(os.path.join(REFERENCE_TEST_DIR, "ml100k-test.csr"),
+                      fmt="csr").infer_ncols()
+    model, stats = learn(trn, SlimConfig(l1r=2.0, l2r=2.0, algo="admm"))
+    np.testing.assert_allclose(stats["loss"], 26544.648, rtol=1e-4)
+    assert abs(stats["nnz"] - 192662) <= 192662 * 0.02
+    res = _eval(model, trn, tst)
+    assert abs(res.hr - 0.321199) < 0.01
+    assert abs(res.arhr - 0.148262) < 0.008
