@@ -115,6 +115,14 @@ sN = run_sweeps(nsweeps + 1)
 dt = (time.perf_counter() - t0) - base
 out["overhead_ms"] = round(base * 1000, 1)
 out["sweep_ms"] = round(dt / nsweeps * 1000, 2)
-out["gb_per_s"] = round((npad // 3 // pc.GROUP) * pc.GROUP * npad * 4
-                        / (dt / nsweeps) / 1e9, 1)
+# roofline: a sweep must read every active G window once from HBM (the
+# dominant traffic; x/q RMW adds B*npad*8/K_FLUSH, ~2% of G at B=128).
+# v5e HBM peak is ~819 GB/s (~600-700 sustained) -- the gap between
+# gb_per_s and that bound is what kernel work can still close.
+V5E_HBM_GBPS = 819.0
+g_active_bytes = (npad // 3 // pc.GROUP) * pc.GROUP * npad * 4
+out["gb_per_s"] = round(g_active_bytes / (dt / nsweeps) / 1e9, 1)
+out["hbm_frac_of_v5e_peak"] = round(out["gb_per_s"] / V5E_HBM_GBPS, 3)
+out["ideal_sweep_ms_at_peak"] = round(
+    g_active_bytes / (V5E_HBM_GBPS * 1e9) * 1000, 2)
 print(json.dumps(out))
