@@ -105,6 +105,10 @@ def read_csr(path: str, readvals: bool = True, numbering: int = 0) -> CSR:
         nnz_per_row = per_row
         indices = all_tok.astype(np.int64) - numbering
         data = None
+    if indices.size and indices.min() < 0:
+        raise ValueError(
+            f"{path}: column id below {numbering} (csr files are "
+            f"{numbering}-indexed here; check the format / numbering)")
     indptr = np.zeros(nrows + 1, dtype=np.int64)
     np.cumsum(nnz_per_row, out=indptr[1:])
     ncols = int(indices.max()) + 1 if indices.size else 0
@@ -181,6 +185,10 @@ def read_ijv(path: str, numbering: int = 0) -> CSR:
         return CSR.empty(0, 0)
     rows = tok[:, 0].astype(np.int64) - numbering
     cols = tok[:, 1].astype(np.int64) - numbering
+    if rows.size and (rows.min() < 0 or cols.min() < 0):
+        raise ValueError(
+            f"{path}: negative user/item id after applying "
+            f"numbering={numbering} (ijv is 0-indexed here)")
     vals = tok[:, 2].astype(np.float32) if tok.shape[1] > 2 else \
         np.ones(len(rows), np.float32)
     return CSR.from_ijv(rows, cols, vals)
