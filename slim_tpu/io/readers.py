@@ -112,7 +112,8 @@ def read_csr(path: str, readvals: bool = True, numbering: int = 0) -> CSR:
     indptr = np.zeros(nrows + 1, dtype=np.int64)
     np.cumsum(nnz_per_row, out=indptr[1:])
     ncols = int(indices.max()) + 1 if indices.size else 0
-    return CSR.from_arrays(nrows, ncols, indptr, indices.astype(np.int32), data)
+    return CSR.from_arrays(nrows, ncols, indptr, indices.astype(np.int32),
+                           data).sum_duplicate_entries()
 
 
 def _format_pairs(indices, vals, numbering):
@@ -166,7 +167,8 @@ def read_cluto(path: str) -> CSR:
     np.cumsum(nnz_per_row, out=indptr[1:])
     if indptr[-1] != nnz:
         raise ValueError(f"{path}: header says nnz={nnz} but file has {indptr[-1]}")
-    return CSR.from_arrays(nrows, ncols, indptr, indices.astype(np.int32), data)
+    return CSR.from_arrays(nrows, ncols, indptr, indices.astype(np.int32),
+                           data).sum_duplicate_entries()
 
 
 def write_cluto(mat: CSR, path: str) -> None:
@@ -220,7 +222,8 @@ def read_binrow(path: str) -> CSR:
         indptr = np.fromfile(fh, dtype=np.int64, count=nrows + 1)
         indices = np.fromfile(fh, dtype=np.int32, count=nnz)
         data = np.fromfile(fh, dtype=np.float32, count=nnz) if has_vals else None
-    return CSR.from_arrays(nrows, ncols, indptr, indices, data)
+    return CSR.from_arrays(nrows, ncols, indptr, indices,
+                           data).sum_duplicate_entries()
 
 
 def write_binrow(mat: CSR, path: str) -> None:

@@ -73,19 +73,6 @@ def _host_fetch_all(*xs):
 # --------------------------------------------------------------------- #
 # sharded Gram
 # --------------------------------------------------------------------- #
-def make_sharded_gram(mesh: Mesh):
-    """Returns a jitted fn: (A_blk row-sharded over dp) -> G replicated."""
-
-    def gram(a):
-        g_part = jnp.dot(a.T, a, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.psum(g_part, "dp")
-
-    fn = shard_map(gram, mesh=mesh, in_specs=(P("dp", None),),
-                   out_specs=P(None, None))
-    return jax.jit(fn)
-
-
 _sharded_gram_sparse_fns: dict = {}
 
 
@@ -157,43 +144,6 @@ def sharded_gram_sparse(train: CSR, mesh: Mesh, pad_to: int,
     spec = NamedSharding(mesh, P(("dp", "mp"), None))
     return fn(jax.device_put(lr, spec), jax.device_put(cc, spec),
               jax.device_put(vv, spec))
-
-
-# --------------------------------------------------------------------- #
-# sharded CD solve
-# --------------------------------------------------------------------- #
-def make_sharded_solve(mesh: Mesh, l1r: float, l2r: float, optTol: float,
-                       shuffle: bool = True):
-    """Returns a jitted fn solving a super-block of columns sharded over the
-    flattened (dp, mp) grid.
-
-    Inputs (global shapes): G (n, n) replicated; J (S,) caps (S,) x0 (S, n)
-    sharded over ('dp','mp'); seed scalar.  S = dp*mp*B.
-    Outputs: x (S, n), niters (S,), rstatus (S,), rnorm (S,), obj (S,)
-    sharded the same way.
-    """
-
-    def solve(g, j_ids, caps, x0, seed):
-        n = g.shape[0]
-        diag = jnp.diagonal(g)
-        gj = jnp.take(g, j_ids, axis=1).T                      # (B, n)
-        cols = jnp.arange(n, dtype=j_ids.dtype)
-        active = (gj > l1r) & (cols[None, :] != j_ids[:, None])
-        yty = jnp.take(diag, j_ids)
-        # distinct seed per device so nothing depends on shard layout only
-        seed_local = seed + jax.lax.axis_index("dp") * 131071 \
-            + jax.lax.axis_index("mp") * 8191
-        return cd_solve_block(g, gj, diag, active, x0, caps, yty,
-                              l1r, l2r, optTol, seed_local, shuffle=shuffle)
-
-    fn = shard_map(
-        solve, mesh=mesh,
-        in_specs=(P(None, None), P(("dp", "mp")), P(("dp", "mp")),
-                  P(("dp", "mp"), None), P()),
-        out_specs=(P(("dp", "mp"), None), P(("dp", "mp")), P(("dp", "mp")),
-                   P(("dp", "mp")), P(("dp", "mp"))),
-        check_vma=False)
-    return jax.jit(fn)
 
 
 # --------------------------------------------------------------------- #
@@ -281,7 +231,11 @@ _screen_flags_fns: dict = {}
 # (npad, Bsup) ATY is 32GB replicated at the 2M-item north star)
 import os as _os
 
-SCREEN_BYTES = int(_os.environ.get("SLIM_SCREEN_BYTES", 1 << 31))
+def _screen_bytes() -> int:
+    """SLIM_SCREEN_BYTES, read at call time (repo convention for A/B
+    env knobs: an in-process flip must take effect, see
+    predict._topk_chunk_env)."""
+    return int(_os.environ.get("SLIM_SCREEN_BYTES", 1 << 31))
 
 
 def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
@@ -677,7 +631,7 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
         float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
     diag_dev = diag_fn(lr_d, cc_d, vv_d)
     screen_chunk = max(128, min(Bsup,
-                                (SCREEN_BYTES // (npad * 4)) // 128 * 128))
+                                (_screen_bytes() // (npad * 4)) // 128 * 128))
     screen_flags_fn = _get_screen_flags(mesh, row_block, npad, screen_chunk,
                                         float(cfg.l1r))
 
@@ -890,7 +844,7 @@ def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
         (W_tot, W_tot), NamedSharding(mesh, P(None, ("dp", "mp"))), shards)
 
     screen_chunk = max(128, min(Bsup,
-                                (SCREEN_BYTES // (W_tot * 4)) // 128 * 128))
+                                (_screen_bytes() // (W_tot * 4)) // 128 * 128))
     screen_fn = _get_g_screen(mesh, W_tot, width, screen_chunk,
                               float(cfg.l1r))
 

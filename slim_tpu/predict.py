@@ -25,10 +25,6 @@ from .types import CSR
 NEG_INF = np.float32(-np.inf)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _bucket(n: int) -> int:
     from .solvers.cd import bucket_npad
     return bucket_npad(n)
@@ -98,7 +94,9 @@ def densify_model(model: CSR, npad: int | None = None):
         return densify_model_device(model, npad)
     W = np.zeros((npad, npad), dtype=np.float32)
     rows = np.repeat(np.arange(model.nrows), model.row_nnz().astype(np.int64))
-    W[rows, model.indices] = model.values()
+    # accumulate duplicates (predict.c's += loop; fancy assignment would
+    # keep only the last entry and diverge from the device scatter-add)
+    np.add.at(W, (rows, model.indices), model.values())
     return jnp.asarray(W)
 
 
@@ -128,9 +126,10 @@ def densify_model_device(model: CSR, npad: int):
             e = jnp.arange(T, dtype=jnp.int32)
             rows = jnp.searchsorted(indptr, e, side="right") \
                 .astype(jnp.int32) - 1
+            # no unique_indices: a model CSR from a file may carry
+            # duplicate (row, col) entries, which must accumulate
             return jnp.zeros((npad, npad), jnp.float32).at[
-                rows, idx.astype(jnp.int32)].add(val, mode="drop",
-                                                 unique_indices=True)
+                rows, idx.astype(jnp.int32)].add(val, mode="drop")
 
         fn = _densify_fns[key] = densify
     dt = np.uint16 if npad < 65536 else np.int32
@@ -221,10 +220,13 @@ def _get_predict_scan(npad, ub, nblocks, P, nrcmds, nnz, n, prec):
                 l = jnp.where(cin, l, ub)
                 v = jnp.where(cin, jnp.take(val, esafe), 0.0) if has_val \
                     else cin.astype(jnp.float32)
+                # NO unique_indices: duplicate history entries must
+                # accumulate (predict.c's += loop; _hist_dense does the
+                # same on the per-block path)
                 hd = jnp.zeros((ub, npad), jnp.float32).at[l, c].add(
-                    v, mode="drop", unique_indices=True)
+                    v, mode="drop")
                 mask = jnp.zeros((ub, npad), bool).at[l, c].max(
-                    cin, mode="drop", unique_indices=True)
+                    cin, mode="drop")
                 scores = jnp.dot(hd, W, preferred_element_type=jnp.float32,
                                  precision=prec)
                 scores = jnp.where(mask, NEG_INF, scores)
@@ -241,7 +243,7 @@ def _get_predict_scan(npad, ub, nblocks, P, nrcmds, nnz, n, prec):
     return fn
 
 
-def _predict_topn_scan(model, hist, nrcmds, user_block, W, n, npad, prec):
+def _predict_topn_scan(hist, nrcmds, user_block, W, n, npad, prec):
     """Dense-W predict over all users in one device dispatch (see
     :func:`_get_predict_scan`)."""
     import jax.numpy as jnp
@@ -688,7 +690,7 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     if not sparse and (scan or (scan is None
                                 and hist.nrows > 4 * user_block)):
         W = W_dev if W_dev is not None else densify_model(model, npad)
-        return _predict_topn_scan(model, hist, nrcmds, user_block, W, n,
+        return _predict_topn_scan(hist, nrcmds, user_block, W, n,
                                   npad, _score_precision(npad, precision))
     if sparse:
         # a resident padded-row model may be passed through W_dev as the
@@ -941,31 +943,8 @@ def predict_candidate_scores(model: CSR, hist: CSR, cand: np.ndarray,
     if hist.data is None:
         hval = (hidx >= 0).astype(np.float32)
 
-    @jax.jit
-    def block_dense(Wm, bi, bv, cd):
-        hd, mask = _hist_dense(npad, bi, bv)
-        scores = jnp.dot(hd, Wm, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        scores = jnp.where(mask, NEG_INF, scores)
-        nscored = jnp.sum(scores > 0, axis=1).astype(jnp.int32)
-        safe_cd = jnp.clip(cd, 0, npad - 1)
-        cs = jnp.take_along_axis(scores, safe_cd, axis=1)
-        cs = jnp.where((cd >= 0) & (cd < n) & (cs > 0), cs, 0.0)
-        return cs, nscored
-
-    @jax.jit
-    def block_sp(Wi, Wv, bi, bv, cd):
-        scores = _score_block_sparse(Wi, Wv, bi, bv)
-        safe_idx = jnp.where(bi >= 0, bi, npad - 1)
-        U = bi.shape[0]
-        mask = jnp.zeros((U, npad), bool).at[
-            jnp.arange(U)[:, None], safe_idx].max(bi >= 0)
-        scores = jnp.where(mask, NEG_INF, scores)
-        nscored = jnp.sum(scores > 0, axis=1).astype(jnp.int32)
-        safe_cd = jnp.clip(cd, 0, npad - 1)
-        cs = jnp.take_along_axis(scores, safe_cd, axis=1)
-        cs = jnp.where((cd >= 0) & (cd < n) & (cs > 0), cs, 0.0)
-        return cs, nscored
+    block_dense = _get_cand_score_block(npad, n, "dense")
+    block_sp = _get_cand_score_block(npad, n, "sparse")
 
     out_cs = np.zeros((nusers, C), np.float32)
     out_ns = np.zeros(nusers, np.int32)
@@ -1013,6 +992,100 @@ def _score_block_sparse(Widx, Wval, hist_idx, hist_val):
         urow.reshape(-1), cand.reshape(-1)].add(w.reshape(-1))
 
 
+# shape-keyed jitted blocks for the candidate-restricted paths: defining
+# fresh @jax.jit closures inside every call would retrace + recompile per
+# invocation (minutes each on remote-compile TPU toolchains); every other
+# predict path uses module-level caches for the same reason.
+_cand_score_fns: dict = {}
+_1vsk_block_fns: dict = {}
+
+
+def _get_cand_score_block(npad, n, kind):
+    """fn(W..., bi, bv, cd) -> (candidate scores, per-user scored count)
+    for predict_candidate_scores; kind = 'dense' | 'sparse'."""
+    key = (npad, n, kind)
+    fn = _cand_score_fns.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    def _cands(scores, cd):
+        nscored = jnp.sum(scores > 0, axis=1).astype(jnp.int32)
+        safe_cd = jnp.clip(cd, 0, npad - 1)
+        cs = jnp.take_along_axis(scores, safe_cd, axis=1)
+        return jnp.where((cd >= 0) & (cd < n) & (cs > 0), cs, 0.0), nscored
+
+    if kind == "dense":
+        @jax.jit
+        def run(Wm, bi, bv, cd):
+            hd, mask = _hist_dense(npad, bi, bv)
+            scores = jnp.dot(hd, Wm, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            return _cands(jnp.where(mask, NEG_INF, scores), cd)
+    else:
+        @jax.jit
+        def run(Wi, Wv, bi, bv, cd):
+            scores = _score_block_sparse(Wi, Wv, bi, bv)
+            safe_idx = jnp.where(bi >= 0, bi, npad - 1)
+            U = bi.shape[0]
+            mask = jnp.zeros((U, npad), bool).at[
+                jnp.arange(U)[:, None], safe_idx].max(bi >= 0)
+            return _cands(jnp.where(mask, NEG_INF, scores), cd)
+
+    _cand_score_fns[key] = run
+    return run
+
+
+def _gather_cands_traced(scores, cand, kk, npad, n, from_cands):
+    """Top-kk over the candidate set (GetRec_1vsk's intersect+sort)."""
+    import jax
+    import jax.numpy as jnp
+
+    if from_cands:
+        cscores = scores                                 # already (U, nnegs)
+    else:
+        safe_cand = jnp.clip(cand, 0, npad - 1)
+        in_range = (cand >= 0) & (cand < n)
+        cscores = jnp.where(
+            in_range, jnp.take_along_axis(scores, safe_cand, axis=1), 0.0)
+    top_sc, top_pos = jax.lax.top_k(cscores, kk)
+    top_ids = jnp.take_along_axis(cand, top_pos, axis=1)
+    return top_ids.astype(jnp.int32), top_sc
+
+
+def _get_1vsk_block(npad, n, kk, kind):
+    """fn(...) -> (top ids, top scores) for predict_topn_1vsk; kind =
+    'dense' | 'sparse' | 'from_cands' (pre-gathered candidate scores)."""
+    key = (npad, n, kk, kind)
+    fn = _1vsk_block_fns.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    if kind == "dense":
+        @jax.jit
+        def run(Wm, bi, bv, cand):
+            hd, _ = _hist_dense(npad, bi, bv)           # no history mask:
+            scores = jnp.dot(hd, Wm,                    # GetRec_1vsk keeps
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            return _gather_cands_traced(scores, cand, kk, npad, n, False)
+    elif kind == "sparse":
+        @jax.jit
+        def run(Wi, Wv, bi, bv, cand):
+            scores = _score_block_sparse(Wi, Wv, bi, bv)
+            return _gather_cands_traced(scores, cand, kk, npad, n, False)
+    else:
+        @jax.jit
+        def run(cs, cand):
+            return _gather_cands_traced(cs, cand, kk, npad, n, True)
+
+    _1vsk_block_fns[key] = run
+    return run
+
+
 def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
                       nrcmds: int = 10, W_dev=None, user_block: int = 1024,
                       sparse: bool | None = None):
@@ -1052,33 +1125,9 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
     if hist.data is None:
         hval = (hidx >= 0).astype(np.float32)
 
-    def gather_cands(scores, cand, k, from_cands=False):
-        if from_cands:
-            cscores = scores                             # already (U, nnegs)
-        else:
-            safe_cand = jnp.clip(cand, 0, npad - 1)
-            in_range = (cand >= 0) & (cand < n)
-            cscores = jnp.where(
-                in_range,
-                jnp.take_along_axis(scores, safe_cand, axis=1),
-                0.0)                                     # (U, nnegs)
-        kk = min(k, nnegs)
-        top_sc, top_pos = jax.lax.top_k(cscores, kk)
-        top_ids = jnp.take_along_axis(cand, top_pos, axis=1)
-        return top_ids.astype(jnp.int32), top_sc
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def block(Wm, bi, bv, cand, k):
-        hd, _ = _hist_dense(npad, bi, bv)               # no history mask:
-        scores = jnp.dot(hd, Wm,                        # GetRec_1vsk keeps
-                         preferred_element_type=jnp.float32,  # history items
-                         precision=jax.lax.Precision.HIGHEST)
-        return gather_cands(scores, cand, k)
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def block_sparse(Wi, Wv, bi, bv, cand, k):
-        scores = _score_block_sparse(Wi, Wv, bi, bv)
-        return gather_cands(scores, cand, k)
+    kk = min(nrcmds, nnegs)
+    block = _get_1vsk_block(npad, n, kk, "dense")
+    block_sparse = _get_1vsk_block(npad, n, kk, "sparse")
 
     ids = np.full((nusers, min(nrcmds, nnegs)), -1, dtype=np.int32)
     scores = np.zeros((nusers, min(nrcmds, nnegs)), dtype=np.float32)
@@ -1096,14 +1145,14 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
                                       nnegs, n, False)
             cs, _ = fn(Wsp[0], Wsp[1], jnp.asarray(bi), jnp.asarray(bv),
                        jnp.asarray(cd))
-            tid, tsc = gather_cands(cs, jnp.asarray(cd), nrcmds,
-                                    from_cands=True)
+            tid, tsc = _get_1vsk_block(npad, n, kk, "from_cands")(
+                cs, jnp.asarray(cd))
         elif sparse:
             tid, tsc = block_sparse(Wsp[0], Wsp[1], jnp.asarray(bi),
-                                    jnp.asarray(bv), jnp.asarray(cd), nrcmds)
+                                    jnp.asarray(bv), jnp.asarray(cd))
         else:
             tid, tsc = block(W, jnp.asarray(bi), jnp.asarray(bv),
-                             jnp.asarray(cd), nrcmds)
+                             jnp.asarray(cd))
         ids[u0:u1] = np.asarray(tid)[:u1 - u0]
         scores[u0:u1] = np.asarray(tsc)[:u1 - u0]
     counts = np.full(nusers, ids.shape[1], dtype=np.int32)

@@ -94,8 +94,6 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
     """
     import jax.numpy as jnp
 
-    from ..ops.cd_kernel import cd_solve_block_ids
-
     train = train.infer_ncols()
     n = train.ncols
     npad = bucket_npad(n)
@@ -133,6 +131,30 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
     fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
     zeros_x0 = jnp.zeros((B, npad), dtype=jnp.float32)
 
+    # incremental harvest with bounded in-flight blocks: holding every
+    # (B, npad) solution on device and concatenating would materialize
+    # P*n*npad*4 bytes (~26GB for a 16-point ML-20M-class grid) on a
+    # 16GB chip; instead each block's nonzeros are extracted as soon as
+    # its solve completes, with one block of dispatch lookahead so the
+    # device stays busy while the host harvests.
+    tri = [([], [], []) for _ in range(P)]   # (coord, target, val) lists
+    st_acc = np.zeros((P, 3), np.float64)    # (err, obj, niters) per point
+
+    def harvest(v0, nv, out):
+        x_h = np.asarray(out[0])[:nv, :n]
+        st = np.stack([np.asarray(out[3]), np.asarray(out[4]),
+                       np.asarray(out[1]).astype(np.float64)], axis=1)[:nv]
+        vids = np.arange(v0, v0 + nv)
+        ranks = (vids % n).astype(np.int64)
+        pts = (vids // n).astype(np.int64)
+        rr, cc = np.nonzero(np.abs(x_h) > EPSILON)
+        for pt in np.unique(pts[rr]) if rr.size else []:
+            sel = pts[rr] == pt
+            tri[pt][0].append(p[cc[sel]])
+            tri[pt][1].append(p[ranks[rr[sel]]])
+            tri[pt][2].append(x_h[rr[sel], cc[sel]].astype(np.float32))
+        np.add.at(st_acc, pts, st)
+
     pending = []
     for v0 in range(0, total, B):
         nv = min(B, total - v0)
@@ -156,25 +178,25 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
                      simtype=cfg.simtype, impl=im))
 
         out = _dispatch_with_fallback(run, impl, (B, npad))
-        pending.append((nv, out))
-
-    X_all = np.asarray(jnp.concatenate([o[0] for _, o in pending], axis=0))
-    st_all = np.asarray(jnp.concatenate(
-        [jnp.stack([o[3], o[4], o[1].astype(jnp.float32)], axis=1)
-         for _, o in pending], axis=0), dtype=np.float64)
+        pending.append((v0, nv, out))
+        if len(pending) > 2:
+            harvest(*pending.pop(0))
+    while pending:
+        harvest(*pending.pop(0))
 
     results = []
     for pt in range(P):
-        rows_lo = pt * n
-        Xp = X_all[rows_lo:rows_lo + n, :n]  # rank-major solutions
-        rr, cc = np.nonzero(np.abs(Xp) > EPSILON)
-        model = CSR.from_ijv(p[cc], p[rr], Xp[rr, cc].astype(np.float32),
-                             nrows=n, ncols=n, no_duplicates=True)
-        err = float(st_all[rows_lo:rows_lo + n, 0].sum())
-        obj = float(st_all[rows_lo:rows_lo + n, 1].sum())
+        model = CSR.from_ijv(
+            np.concatenate(tri[pt][0]) if tri[pt][0] else
+            np.zeros(0, np.int32),
+            np.concatenate(tri[pt][1]) if tri[pt][1] else
+            np.zeros(0, np.int32),
+            np.concatenate(tri[pt][2]) if tri[pt][2] else
+            np.zeros(0, np.float32),
+            nrows=n, ncols=n, no_duplicates=True)
         results.append((model, {
-            "loss": obj, "fit": err, "nnz": model.nnz,
-            "niters": int(st_all[rows_lo:rows_lo + n, 2].sum())}))
+            "loss": float(st_acc[pt, 1]), "fit": float(st_acc[pt, 0]),
+            "nnz": model.nnz, "niters": int(st_acc[pt, 2])}))
     return results
 
 
@@ -197,13 +219,14 @@ class _Checkpoint:
         # checkpoint files
         h.update(extra)
         h.update(np.asarray([train.nrows, n, train.nnz]).tobytes())
-        h.update(train.indptr[:: max(1, train.nrows // 64)].tobytes())
-        # sample the actual entries too: same-profile datasets (and the
-        # same dataset with edited values) must not share checkpoints
-        stride = max(1, train.nnz // 256)
-        h.update(train.indices[::stride].tobytes())
+        # hash the FULL arrays: sampling left >99.99% of a 34M-nnz matrix
+        # unsampled, so a lightly edited dataset could silently resume
+        # from stale blocks.  sha256 runs ~1GB/s -- a one-time ~0.2s at
+        # ML-20M, negligible next to the solve it protects.
+        h.update(np.ascontiguousarray(train.indptr).tobytes())
+        h.update(np.ascontiguousarray(train.indices).tobytes())
         if train.data is not None:
-            h.update(train.data[::stride].tobytes())
+            h.update(np.ascontiguousarray(train.data).tobytes())
         h.update(np.asarray([cfg.l1r, cfg.l2r, cfg.optTol]).tobytes())
         h.update(np.asarray([cfg.maxniters, cfg.nnbrs, cfg.ordered,
                              cfg.seed, cfg.block_size,
@@ -216,10 +239,9 @@ class _Checkpoint:
         else:
             h.update(np.asarray([imodel.nrows, imodel.ncols,
                                  imodel.nnz]).tobytes())
-            istride = max(1, imodel.nnz // 256)
-            h.update(imodel.indices[::istride].tobytes())
+            h.update(np.ascontiguousarray(imodel.indices).tobytes())
             if imodel.data is not None:
-                h.update(imodel.data[::istride].tobytes())
+                h.update(np.ascontiguousarray(imodel.data).tobytes())
         self.sig = h.hexdigest()[:16]
         self.dir = cfg.checkpoint_dir
         os.makedirs(self.dir, exist_ok=True)
@@ -269,8 +291,14 @@ def _load_failed_shapes() -> set:
         try:
             with open(_failed_shape_file()) as fh:
                 for line in fh:
-                    b, k = line.split()
-                    _pallas_failed_shapes.add((int(b), int(k)))
+                    parts = line.split()
+                    if len(parts) != 2:
+                        continue  # torn line (concurrent append / crash)
+                    try:
+                        _pallas_failed_shapes.add((int(parts[0]),
+                                                   int(parts[1])))
+                    except ValueError:
+                        continue
         except OSError:
             pass
     return _pallas_failed_shapes

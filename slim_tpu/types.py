@@ -166,6 +166,27 @@ class CSR:
         return CSR.from_arrays(self.nrows, self.ncols, m.indptr, m.indices,
                                None if self.data is None else m.data)
 
+    def sum_duplicate_entries(self) -> "CSR":
+        """Canonicalize: sum duplicate (row, col) entries in place of
+        keeping both.  The reference's scalar += loops accumulate
+        duplicates naturally; the device scatter kernels assume unique
+        coordinates per row, so file-read matrices are canonicalized at
+        the boundary.  Returns self unchanged when already canonical."""
+        rows = np.repeat(np.arange(self.nrows, dtype=np.int64),
+                         np.diff(self.indptr).astype(np.int64))
+        order = np.lexsort((self.indices, rows))
+        r_s, c_s = rows[order], self.indices[order]
+        dup = (r_s[1:] == r_s[:-1]) & (c_s[1:] == c_s[:-1])
+        if not dup.any():
+            return self
+        m = self.to_scipy()
+        m.sum_duplicates()
+        # keep the summed values even for implicit input: a duplicated id
+        # counts twice in the reference's += loops, so the canonical form
+        # carries the multiplicity as an explicit value
+        return CSR.from_arrays(self.nrows, self.ncols,
+                               m.indptr.astype(np.int64), m.indices, m.data)
+
     def transpose(self) -> "CSR":
         """CSC view as a CSR of the transpose (cached).
 

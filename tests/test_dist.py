@@ -140,7 +140,7 @@ def test_blockwise_chunked_screen_matches(rng, monkeypatch):
     mesh = make_mesh(8)
     cfg2 = SlimConfig(l1r=0.5, l2r=0.5, optTol=1e-12, block_size=32,
                       shuffle=False)
-    monkeypatch.setattr(dist, "SCREEN_BYTES", 128 * 384 * 4)
+    monkeypatch.setenv("SLIM_SCREEN_BYTES", str(128 * 384 * 4))
     bw_model, _ = dist.distributed_learn_blockwise(mat, cfg2, mesh)
     single_model, _ = estimate_model_cd(mat, cfg2)
     np.testing.assert_allclose(bw_model.to_scipy().toarray(),

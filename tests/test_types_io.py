@@ -99,3 +99,23 @@ def test_read_reference_datasets():
     assert cluto.nnz == 100000
     # cluto ratings are 1..5 explicit
     assert cluto.values().min() >= 1.0 and cluto.values().max() <= 5.0
+
+
+def test_duplicate_entries_sum_on_read(tmp_path):
+    """A file with duplicate (row, col) entries canonicalizes to their SUM
+    at the reader boundary (the reference's += loops accumulate them; the
+    device scatter kernels assume unique coordinates)."""
+    from slim_tpu.io.readers import read_matrix
+
+    f = tmp_path / "dup.csr"
+    f.write_text("3 1.0 3 2.0 5 1.0\n0 4.0\n")
+    m = read_matrix(str(f), fmt="csr")
+    assert m.nnz == 3
+    d = m.to_dense()
+    assert d[0, 3] == 3.0 and d[0, 5] == 1.0 and d[1, 0] == 4.0
+
+    # implicit (no-values) duplicates carry their multiplicity
+    f2 = tmp_path / "dup.csrnv"
+    f2.write_text("2 2 7\n")
+    m2 = read_matrix(str(f2), fmt="csrnv")
+    assert m2.nnz == 2 and m2.to_dense()[0, 2] == 2.0
