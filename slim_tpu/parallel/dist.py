@@ -483,20 +483,11 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
 
     import time as _time
 
-    for s0 in range(0, n_eff, Bsup):
-        blk = s0 // Bsup
-        if ckpt is not None:
-            hit = ckpt.load(blk)
-            if hit is not None:
-                coord, target, vals, err, obj_, nit = hit
-                coord_ids.append(coord)
-                target_ids.append(target)
-                out_vals.append(vals)
-                total_err += err
-                total_obj += obj_
-                total_niters += nit
-                logger.info("superblock %d: resumed from checkpoint", blk + 1)
-                continue
+    nsup = (n_eff + Bsup - 1) // Bsup
+
+    def dispatch(s0, blk):
+        """Screen + compact + solve dispatch for one superblock; returns
+        the pending record whose device outputs are fetched later."""
         _t0 = _time.perf_counter()
         nJ = min(Bsup, n_eff - s0)
         jarr = np.full(Bsup, npad - 1, dtype=np.int32)
@@ -547,8 +538,17 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
             jax.device_put(caps, cols_spec),
             jax.device_put(x0_host, cols2_spec), S_dev,
             jax.device_put(yty, cols_spec),
-            int(cfg.seed) + s0 // Bsup)
+            int(cfg.seed) + blk)
+        logger.info("superblock %d/%d: K=%d screen %.2fs dispatched",
+                    blk + 1, nsup, K, _t_screen - _t0)
+        return (s0, blk, nJ, S, x, niters, rnorm, obj)
 
+    def harvest(rec):
+        """Fetch one pending superblock's outputs and assemble (overlaps
+        the device executing the NEXT superblock's screen/gram/solve)."""
+        s0, blk, nJ, S, x, niters, rnorm, obj = rec
+        nonlocal total_err, total_obj, total_niters
+        _t0 = _time.perf_counter()
         x_h, rnorm_h, obj_h, niters_h = _host_fetch_all(x, rnorm, obj,
                                                         niters)
         x_h = x_h[:nJ]
@@ -573,11 +573,38 @@ def _superblocks_solve(train, cfg, mesh, n, npad, Bsup, p, posmap, caps_p,
         if ckpt is not None:
             ckpt.save(blk, blk_coord, blk_target, blk_vals, blk_err,
                       blk_obj, blk_nit)
-        _t_end = _time.perf_counter()
-        logger.info(
-            "superblock %d/%d: K=%d screen %.2fs solve+harvest %.2fs",
-            s0 // Bsup + 1, (n_eff + Bsup - 1) // Bsup, K,
-            _t_screen - _t0, _t_end - _t_screen)
+        logger.info("superblock %d/%d: fetch+harvest %.2fs", blk + 1, nsup,
+                    _time.perf_counter() - _t0)
+
+    # one-superblock lookahead: the device runs superblock k+1's
+    # screen/gram/solve while the host fetches and assembles k's results
+    # (the solve dispatch is async).  In multi-controller runs every
+    # process executes the identical dispatch/harvest order, so the
+    # collectives stay aligned.
+    pending = None
+    for s0 in range(0, n_eff, Bsup):
+        blk = s0 // Bsup
+        if ckpt is not None:
+            hit = ckpt.load(blk)
+            if hit is not None:
+                if pending is not None:
+                    harvest(pending)
+                    pending = None
+                coord, target, vals, err, obj_, nit = hit
+                coord_ids.append(coord)
+                target_ids.append(target)
+                out_vals.append(vals)
+                total_err += err
+                total_obj += obj_
+                total_niters += nit
+                logger.info("superblock %d: resumed from checkpoint", blk + 1)
+                continue
+        rec = dispatch(s0, blk)
+        if pending is not None:
+            harvest(pending)
+        pending = rec
+    if pending is not None:
+        harvest(pending)
 
     model = CSR.from_ijv(
         np.concatenate(coord_ids) if coord_ids else np.zeros(0, np.int32),
