@@ -69,7 +69,7 @@ def main():
     out = {"metric": "amazon2m_dryrun_learn_s", "value": round(dt, 1),
            "ncols": ncols, "ndevices": ndev, "loss": stats["loss"],
            "model_nnz": stats["nnz"], "mode": stats["mode"]}
-    if native.available():
+    if native.available() and os.environ.get("SLIM_DRYRUN_NATIVE") != "0":
         t0 = time.perf_counter()
         _, _, obj = native.cd_learn(train, l1r=0.5, l2r=0.5, optTol=1e-7,
                                     maxniters=10000, nthreads=0)
