@@ -48,3 +48,11 @@ timeout 1800 python scripts/admm_bench.py 2>/tmp/hw_admm.err; tail -3 /tmp/hw_ad
 SLIM_TOPK_CHUNK=0 SLIM_BENCH_REPS=1 timeout 1800 python scripts/predict_large_bench.py 262144 100000 2>/tmp/hw_predict_nochunk.err
 SLIM_PREDICT_COO_NPAD=0 SLIM_BENCH_REPS=1 timeout 2400 python scripts/predict_large_bench.py 2000000 20000 2>/tmp/hw_predict2m_dense.err
 SLIM_PREDICT_WVAL_BF16=1 SLIM_BENCH_REPS=1 timeout 2400 python scripts/predict_large_bench.py 2000000 20000 2>/tmp/hw_predict2m_bf16.err
+
+# preserve the session log inside the repo (the watcher tees to /tmp only)
+cp /tmp/hw_session.log /root/repo/hw_session_latest.log 2>/dev/null || true
+for f in /tmp/hw_bench.err /tmp/hw_predict1p7k.err /tmp/hw_predict27k.err \
+         /tmp/hw_predict.err /tmp/hw_predict2m.err /tmp/hw_2m_chip.err \
+         /tmp/hw_v3.err /tmp/hw_v4.err /tmp/hw_admm.err; do
+  [ -f "$f" ] && { echo "===== $f ====="; tail -20 "$f"; }
+done >> /root/repo/hw_session_latest.log 2>/dev/null || true
