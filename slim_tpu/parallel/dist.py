@@ -239,22 +239,30 @@ def _screen_bytes() -> int:
 
 
 def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
-                      l1r: float):
+                      l1r: float, fslim_nnbrs: int = 0,
+                      simtype: str = "cos"):
     """Jitted SPMD screen for one chunk of target columns, returning ONLY
     the union active flags (npad,).  The solve never needs the screen's
     ATY values: target columns are members of the compact set S, so their
-    Gram rows come out of the psum'd compact Gram G[S, S] instead.  That
+    Gram rows come out of the psum'd compact Gram G[S, S] instead (and the
+    FSLIM solve recomputes its top-k mask in the compact space, which is
+    exact -- every target's global top-nnbrs is inside the union).  That
     makes the (npad, chunk) scatter intermediate the only screen memory,
-    and ``chunk`` bounds it (SCREEN_BYTES) independently of the
-    superblock width."""
-    key = (id(mesh), rb, npad, chunk, l1r)
+    and ``chunk`` bounds it (SLIM_SCREEN_BYTES) independently of the
+    superblock width -- for FSLIM too, which previously required a
+    full-width (npad, Bsup) ATY."""
+    key = (id(mesh), rb, npad, chunk, l1r, fslim_nnbrs, simtype)
     fn = _screen_flags_fns.get(key)
     if fn is None:
+        from ..ops.cd_kernel import fslim_active_mask
+
         ndev = mesh.size
         mp_size = mesh.shape["mp"]
-        scatter_rows = npad % ndev == 0
+        # FSLIM's per-target top-k needs the full candidate axis on one
+        # device, so its flags come from the psum'd (npad, chunk) buffer
+        scatter_rows = fslim_nnbrs == 0 and npad % ndev == 0
 
-        def screen_f(lr, cc, vv, jarr):
+        def screen_f(lr, cc, vv, jarr, diag_full):
             jl = jnp.full((npad,), chunk, jnp.int32).at[jarr].set(
                 jnp.arange(chunk, dtype=jnp.int32))
 
@@ -270,6 +278,11 @@ def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
 
             aty0 = jnp.zeros((npad, chunk), jnp.float32)
             aty, _ = jax.lax.scan(body, aty0, (lr, cc, vv))
+            if fslim_nnbrs > 0:
+                aty = jax.lax.psum(aty, ("dp", "mp"))
+                active = fslim_active_mask(
+                    aty.T, diag_full, jarr, npad, fslim_nnbrs, simtype).T
+                return jnp.any(active, axis=1)
             if scatter_rows:
                 # reduce-scatter over item rows + local threshold: ring
                 # traffic ~(N-1)/N of the buffer and no (npad, chunk)
@@ -291,7 +304,8 @@ def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
 
         spec = P(("dp", "mp"), None)
         fn = jax.jit(shard_map(
-            screen_f, mesh=mesh, in_specs=(spec, spec, spec, P(None)),
+            screen_f, mesh=mesh,
+            in_specs=(spec, spec, spec, P(None), P(None)),
             out_specs=P(("dp", "mp")) if scatter_rows else P(None),
             check_vma=False))
         _screen_flags_fns[key] = fn
@@ -629,7 +643,9 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
     compact-Gram pass produces G[S, S], and the columns solve sharded
     over the grid -- exact SLIM/FSLIM semantics with per-block O(K²)
     memory instead of O(n²) anywhere (SURVEY §7 hard part #1).  FSLIM
-    keeps the full-width ATY screen (its top-k needs the values).
+    screens through the same memory-bounded chunks (per-chunk top-k is
+    the global top-k; the solve re-derives each target's neighbour set
+    inside the compact union), so FSLIM also runs at the 2M-item scale.
     Collective traffic per super-block: (npad, chunk)·nchunks + (K, K)
     over ICI; peak per-device memory at the 2M-item north star is the
     (npad, chunk) screen buffer (~2GB) + G[S, S].
@@ -653,30 +669,31 @@ def distributed_learn_blockwise(train: CSR, cfg, mesh: Mesh,
     lr_d, cc_d, vv_d = _rank_triplets(train, mesh, row_block, npad, posmap)
     repl = NamedSharding(mesh, P(None))
 
-    screen_fn, _, diag_fn, _ = _get_blockwise_fns(
+    _, _, diag_fn, _ = _get_blockwise_fns(
         mesh, row_block, npad, Bsup, 1, float(cfg.l1r), float(cfg.l2r),
         float(cfg.optTol), cfg.shuffle, int(fslim_nnbrs), cfg.simtype)
     diag_dev = diag_fn(lr_d, cc_d, vv_d)
     screen_chunk = max(128, min(Bsup,
                                 (_screen_bytes() // (npad * 4)) // 128 * 128))
     screen_flags_fn = _get_screen_flags(mesh, row_block, npad, screen_chunk,
-                                        float(cfg.l1r))
+                                        float(cfg.l1r), int(fslim_nnbrs),
+                                        cfg.simtype)
 
     def flags_cb(jarr, nJ):
-        if fslim_nnbrs > 0:
-            # FSLIM's top-k similarity needs the full per-column ATY
-            aty, flags = screen_fn(lr_d, cc_d, vv_d,
-                                   jax.device_put(jarr, repl), diag_dev)
-            return _host_fetch(flags), aty
         # memory-bounded screen: union flags only, in column chunks of
         # (npad, chunk) -- ATY is never materialized at superblock width
-        # (32GB at the 2M-item north star)
+        # (32GB at the 2M-item north star).  FSLIM takes the same chunked
+        # path (its per-chunk top-k is exact; the solve re-derives each
+        # target's top-nnbrs inside the compact union, see
+        # fslim_active_mask's docstring) so its gjs also comes from the
+        # compact Gram.
         flags_h = np.zeros(npad, bool)
         for c0 in range(0, nJ, screen_chunk):
             m = min(screen_chunk, nJ - c0)
             jc = np.full(screen_chunk, npad - 1, np.int32)
             jc[:m] = jarr[c0:c0 + m]
-            fl = screen_flags_fn(lr_d, cc_d, vv_d, jax.device_put(jc, repl))
+            fl = screen_flags_fn(lr_d, cc_d, vv_d, jax.device_put(jc, repl),
+                                 diag_dev)
             flags_h |= _host_fetch(fl)
         return flags_h, None
 

@@ -102,7 +102,10 @@ def test_blockwise_100k_items_no_dense_g(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_blockwise_fslim(rng):
+def test_blockwise_fslim(rng, monkeypatch):
+    # force a multi-chunk memory-bounded screen (the FSLIM
+    # top-k path must be exact across chunk boundaries)
+    monkeypatch.setenv("SLIM_SCREEN_BYTES", str(128 * 300 * 4))
     from slim_tpu.parallel.dist import distributed_learn_blockwise
 
     mat = random_csr(rng, 60, 30, density=0.3, seed=79)
