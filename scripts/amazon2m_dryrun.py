@@ -60,7 +60,10 @@ def main():
 
     ndev = len(jax.devices())
     mesh = make_mesh(ndev)
-    cfg = SlimConfig(l1r=0.5, l2r=0.5, block_size=64, shuffle=False)
+    # SLIM_DRYRUN_NNBRS>0 runs FSLIM at this scale (chunked top-k screen)
+    nnbrs = int(os.environ.get("SLIM_DRYRUN_NNBRS", "0"))
+    cfg = SlimConfig(l1r=0.5, l2r=0.5, block_size=64, shuffle=False,
+                     nnbrs=nnbrs)
 
     t0 = time.perf_counter()
     model, stats = distributed_learn_blockwise(train, cfg, mesh)

@@ -68,7 +68,16 @@ def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype,
         raise ValueError(f"unknown simtype {simtype!r}")
     sim = jnp.where(cand, sim, -jnp.inf)
     k = max(1, min(int(nnbrs), width))
-    vals, ids_k = jax.lax.top_k(sim, k)
+    if width >= 1 << 18:
+        # two-stage exact top-k: a single-pass top_k sorts the whole
+        # 2M-wide row; the chunked composition keeps each sort window
+        # small (see predict._topk_wide -- any global top-k element is
+        # inside its chunk's top-k)
+        from ..predict import _topk_wide
+
+        vals, ids_k = _topk_wide(sim, k, chunk=32768)
+    else:
+        vals, ids_k = jax.lax.top_k(sim, k)
     valid = jnp.isfinite(vals)
     return jnp.zeros((B, width), bool).at[
         jnp.arange(B)[:, None], ids_k].max(valid)

@@ -197,3 +197,32 @@ def test_empty_training_matrix():
         assert model.nrows == model.ncols == 7
     ids, _, counts = get_topn(model, empty, nrcmds=3)
     assert counts.sum() == 0 and (ids == -1).all()
+
+
+def test_fslim_active_mask_wide_two_stage():
+    """At width >= 2^18 fslim_active_mask switches to the two-stage exact
+    top-k; the selected neighbour sets must equal the single-pass form."""
+    import jax.numpy as jnp
+
+    from slim_tpu.ops.cd_kernel import fslim_active_mask
+
+    width, B, k = 1 << 18, 4, 7
+    rng = np.random.default_rng(11)
+    gj = np.zeros((B, width), np.float32)
+    # sparse co-rating pattern with distinct similarities (no ties)
+    for b in range(B):
+        cols = rng.choice(width, 300, replace=False)
+        gj[b, cols] = rng.permutation(300).astype(np.float32) + 1.0
+    diag = (rng.random(width).astype(np.float32) + 0.5) ** 2
+    self_ids = np.arange(B, dtype=np.int32) * 1000
+    got = np.asarray(fslim_active_mask(
+        jnp.asarray(gj), jnp.asarray(diag), jnp.asarray(self_ids),
+        width, k, "cos"))
+    # reference: plain numpy top-k on the same similarity
+    sim = gj / np.sqrt(diag)[None, :]
+    for b in range(B):
+        cand = (gj[b] > 0) & (np.arange(width) != self_ids[b])
+        s = np.where(cand, sim[b], -np.inf)
+        expect = np.argsort(-s)[:k]
+        expect = expect[np.isfinite(s[expect])]
+        assert set(np.nonzero(got[b])[0]) == set(expect)
