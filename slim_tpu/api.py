@@ -278,7 +278,7 @@ class SLIM:
         # same n as predict_topn's own routing (model dims + history width)
         n = max(self.model.nrows, self.model.ncols, data.mat.ncols)
         if (self._W_dev is None and negitems is None
-                and native_predict_applicable(n)):
+                and native_predict_applicable(n, self.model, data.mat)):
             pass
         elif self._W_dev is None and _bucket(n) <= SPARSE_PREDICT_THRESHOLD:
             self._W_dev = densify_model(self.model)

@@ -156,15 +156,48 @@ SPARSE_PREDICT_THRESHOLD = 36864
 # Override with SLIM_PREDICT_NATIVE_NPAD (0 disables the fallback).
 NATIVE_PREDICT_NPAD = 4096
 
+# Above NATIVE_PREDICT_NPAD the winner is decided by per-user WORK, not
+# catalogue size: the native loop costs O(h*r) per user (h = history nnz,
+# r = model row nnz) while every device path writes/score-reduces O(npad)
+# per user.  Round-3 hardware capture (TPU v5e vs the 4-core native
+# baseline, docs/RESULTS.md serving table):
+#   h*r/npad ~ 6.2 (ml20m, r=1263)   -> device wins 1.37x
+#   h*r/npad ~ 0.026 (27k, r=27)     -> native wins 17x
+#   h*r/npad ~ 0.003 (262k, r=27)    -> native wins 223x
+# Log-log interpolation puts the break-even near h*r = 4*npad; unpinned
+# calls with less estimated work than that route to the native kernel.
+# Override the coefficient with SLIM_PREDICT_NATIVE_ALPHA (0 restores the
+# pure-npad rule).
+NATIVE_PREDICT_ALPHA = 4.0
 
-def native_predict_applicable(n: int) -> bool:
+
+def native_predict_applicable(n: int, model: CSR | None = None,
+                              hist: CSR | None = None) -> bool:
     """True when :func:`predict_topn` would route an unpinned call for an
-    ``n``-item catalogue to the native host kernel."""
+    ``n``-item catalogue to the native host kernel.
+
+    With ``model``/``hist`` supplied, catalogues above the small-npad
+    threshold are still routed native when the estimated per-user work
+    ``mean(history nnz) * mean(model row nnz)`` is below
+    ``NATIVE_PREDICT_ALPHA * npad`` -- the hardware-fitted crossover where
+    the reference-style scalar loop (predict.c:40-66) outruns the device's
+    O(npad)-per-user scoring."""
     from . import native
 
     thr = int(os.environ.get("SLIM_PREDICT_NATIVE_NPAD",
                              NATIVE_PREDICT_NPAD))
-    return 0 < thr and _bucket(n) <= thr and native.available()
+    if thr <= 0 or not native.available():
+        return False
+    npad = _bucket(n)
+    if npad <= thr:
+        return True
+    if model is None or hist is None:
+        return False
+    alpha = float(os.environ.get("SLIM_PREDICT_NATIVE_ALPHA",
+                                 NATIVE_PREDICT_ALPHA))
+    hbar = hist.nnz / max(hist.nrows, 1)
+    rbar = model.nnz / max(model.nrows, 1)
+    return alpha > 0 and hbar * rbar < alpha * npad
 
 # scoring-matmul precision: HIGHEST (exact f32, 6 bf16 passes on TPU) for
 # small catalogues where compute is negligible; DEFAULT (bf16 inputs, f32
@@ -680,7 +713,8 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
     # resident device model, sparse=, scan=, or precision= -- keeps the
     # call on device (bench/tests pin their paths this way).
     if (W_dev is None and sparse is None and scan is None
-            and precision is None and native_predict_applicable(n)):
+            and precision is None and native_predict_applicable(n, model,
+                                                                hist)):
         from . import native
 
         return native.predict_topn(model, hist, nrcmds=nrcmds)

@@ -144,3 +144,52 @@ def test_native_fallback_dispatch(rng, monkeypatch):
     calls.clear()
     P.predict_topn(model, hist, nrcmds=6)
     assert not calls
+
+
+def test_native_work_based_dispatch(rng, monkeypatch):
+    """Above the small-npad threshold the router decides by estimated
+    per-user work (round-3 hardware fit: native wins while
+    mean-history-nnz * mean-model-row-nnz < alpha*npad)."""
+    import pytest
+
+    from conftest import random_csr
+    from slim_tpu import native
+    from slim_tpu import predict as P
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    monkeypatch.setenv("SLIM_PREDICT_NATIVE_NPAD", "64")
+    n = 300  # npad 512 > threshold: the npad rule alone says device
+
+    # without stats the pure-npad rule applies
+    assert not P.native_predict_applicable(n)
+
+    sparse_model = random_csr(rng, n, n, density=0.02, seed=322)  # r~6
+    dense_model = random_csr(rng, n, n, density=0.9, seed=323)    # r~270
+    hist = random_csr(rng, 16, n, density=0.05, seed=324)         # h~15
+    # h*r ~ 90 << 4*512            -> native
+    assert P.native_predict_applicable(n, sparse_model, hist)
+    # h*r ~ 4000 > 4*512 = 2048    -> device
+    assert not P.native_predict_applicable(n, dense_model, hist)
+    # alpha override flips the sparse case to device
+    monkeypatch.setenv("SLIM_PREDICT_NATIVE_ALPHA", "0.01")
+    assert not P.native_predict_applicable(n, sparse_model, hist)
+    monkeypatch.delenv("SLIM_PREDICT_NATIVE_ALPHA")
+
+    # the routed native call and the pinned device call agree
+    calls = []
+    orig = native.predict_topn
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(native, "predict_topn", spy)
+    ni, nsc, nc = P.predict_topn(sparse_model, hist, nrcmds=5)
+    assert calls, "sparse large-n unpinned call should route native"
+    di, dsc, dc = P.predict_topn(sparse_model, hist, nrcmds=5, sparse=False)
+    np.testing.assert_array_equal(nc, dc)
+    for u in range(hist.nrows):
+        k = int(dc[u])
+        np.testing.assert_allclose(np.sort(nsc[u][:k]), np.sort(dsc[u][:k]),
+                                   rtol=1e-5, atol=1e-6)
