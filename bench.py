@@ -106,7 +106,7 @@ def bench_tpu(train, repeats):
     logging.basicConfig(level=logging.INFO,
                         format="[bench] %(message)s", stream=sys.stderr)
     cfg = SlimConfig(l1r=L1R, l2r=L2R, optTol=OPT_TOL, maxniters=MAXNITERS,
-                     block_size=int(os.environ.get("SLIM_BENCH_BLOCK", "512")),
+                     block_size=int(os.environ.get("SLIM_BENCH_BLOCK", "1024")),
                      dbglvl=SLIM_DBG_TIME)
     t0 = time.perf_counter()
     learn(train, cfg)

@@ -91,6 +91,25 @@ def _arg_sig(a):
     return ("other", repr(type(a)))
 
 
+_KNOB_ENVS = (
+    # env knobs read at TRACE time inside the kernel selection: two
+    # processes with the same arg shapes but different knob values
+    # compile different programs, so the knobs must key the cache --
+    # otherwise an A/B flip silently loads the other setting's
+    # executable from disk
+    "SLIM_PALLAS_V3", "SLIM_PALLAS_V4", "SLIM_PALLAS_KFLUSH",
+    "SLIM_PALLAS_PANEL", "SLIM_PALLAS_GROUP", "SLIM_PALLAS_MAXB")
+
+
+def _knob_sig() -> str:
+    from . import pallas_cd
+
+    knobs = [f"{k}={os.environ.get(k, '')}" for k in _KNOB_ENVS]
+    # the v4 shape denylist also steers trace-time kernel selection
+    knobs.append(f"v4deny={sorted(pallas_cd.V4_SHAPE_DENYLIST)}")
+    return ";".join(knobs)
+
+
 def _make_key(name: str, args, statics: dict) -> str:
     import jax
 
@@ -98,6 +117,7 @@ def _make_key(name: str, args, statics: dict) -> str:
     parts = [
         name,
         _source_digest(),
+        _knob_sig(),
         jax.__version__,
         devs[0].device_kind,
         str(len(devs)),

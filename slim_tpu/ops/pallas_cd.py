@@ -1209,6 +1209,29 @@ def pallas_large_max_block(npad: int, cap: int = 256) -> int:
 
 Q_REFRESH = 8  # sweeps between exact q = Gx recomputes (drift guard)
 
+# (B, npad) shapes whose v4 compile failed on this toolchain; populated
+# from the persistent failed-shape file by solvers.cd at load time and
+# extended at failure time -- a v4 compile failure retries on v3, never
+# on the (much slower) XLA kernel.
+V4_SHAPE_DENYLIST: set = set()
+
+
+def pallas_pick_large_variant(B: int, npad: int) -> str:
+    """Which sweep kernel the auto-gate selects for a (B, npad) panelized
+    block: ``'v4'`` (transposed deferred-flush; hardware-measured default
+    since the round-3 A/B), ``'v3'`` (deferred-flush), or ``'eager'``
+    (the plain panelized kernel).  Exposed so the driver's compile-failure
+    fallback and the executable-cache key can see the same decision the
+    trace will make."""
+    if (_os.environ.get("SLIM_PALLAS_V4", "1") != "0"
+            and pallas_large_v4_supported(B, npad)
+            and (B, npad) not in V4_SHAPE_DENYLIST):
+        return "v4"
+    if (_os.environ.get("SLIM_PALLAS_V3", "1") != "0"
+            and pallas_large_v3_supported(B, npad)):
+        return "v3"
+    return "eager"
+
 
 def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
                             l1r, l2r, optTol, seed, shuffle=True,
@@ -1223,18 +1246,16 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
     domain admits the shape, unless SLIM_PALLAS_V3=0).  ``use_v4``
     selects the transposed deferred-flush kernel (coordinate-major
     layout: the GS inner loop runs on (1, B) lane-contiguous rows);
-    default: OFF until measured on real Mosaic -- opt in with
-    SLIM_PALLAS_V4=1 (then auto within its shape domain)."""
+    default: ON within its shape domain (round-3 hardware A/B at
+    (128, 28672): 7.02 ms/sweep vs v3's 12.89 -- 151 GB/s effective HBM
+    stream vs 82); SLIM_PALLAS_V4=0 reverts to v3.  A v4 compile failure
+    is denylisted per shape and retried on v3 (solvers.cd fallback), so
+    the worst case is v3's known performance, not the XLA kernel."""
     B, npad = gj.shape
     ngroups = npad // GROUP
     if use_v4 is None:
-        # OPT-IN until measured on real Mosaic (SLIM_PALLAS_V4=1): a
-        # compile failure at the production shape would land (B, npad)
-        # in the failed-shape cache and route every head block to the
-        # XLA kernel -- far worse than v3's known 52-61s ML-20M time
         use_v4 = (use_v3 is None
-                  and _os.environ.get("SLIM_PALLAS_V4") == "1"
-                  and pallas_large_v4_supported(B, npad))
+                  and pallas_pick_large_variant(B, npad) == "v4")
     if use_v4:
         return _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters,
                                     yty, l1r, l2r, optTol, seed,

@@ -311,8 +311,16 @@ def _predict_topn_scan(hist, nrcmds, user_block, W, n, npad, prec):
 def _topk_chunk_env():
     """SLIM_TOPK_CHUNK, read at call (not trace) time so it can key the
     compiled-function caches -- an in-process A/B flip must not silently
-    reuse the previous setting's kernel."""
-    return int(os.environ.get("SLIM_TOPK_CHUNK", "32768"))
+    reuse the previous setting's kernel.
+
+    Default 0 (single-pass ``lax.top_k``): the round-3 hardware A/B at
+    262,144-wide rows measured the single pass 5.8x FASTER than the
+    32,768-chunk two-stage form (18.3k vs 3.1k users/s) -- XLA's top-k
+    lowering does not full-sort the row, while the chunked form's
+    (U, C, chunk) reshape relayouts the score block.  The two-stage path
+    stays available for A/B and for backends where wide sorts do
+    degrade."""
+    return int(os.environ.get("SLIM_TOPK_CHUNK", "0"))
 
 
 def _topk_wide(scores, k, chunk=None):

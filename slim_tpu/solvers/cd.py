@@ -285,18 +285,27 @@ def _failed_shape_file():
 
 
 def _load_failed_shapes() -> set:
+    """Two line formats: ``B npad`` = every Pallas kernel failed for the
+    shape (block routes to XLA); ``v4 B npad`` = only the v4 variant
+    failed (block retries on v3 -- recorded into
+    ``pallas_cd.V4_SHAPE_DENYLIST`` so the auto-gate skips v4)."""
     global _pallas_failed_shapes
     if _pallas_failed_shapes is None:
+        from ..ops import pallas_cd
+
         _pallas_failed_shapes = set()
         try:
             with open(_failed_shape_file()) as fh:
                 for line in fh:
                     parts = line.split()
-                    if len(parts) != 2:
-                        continue  # torn line (concurrent append / crash)
                     try:
-                        _pallas_failed_shapes.add((int(parts[0]),
-                                                   int(parts[1])))
+                        if len(parts) == 2:
+                            _pallas_failed_shapes.add((int(parts[0]),
+                                                       int(parts[1])))
+                        elif len(parts) == 3 and parts[0] == "v4":
+                            pallas_cd.V4_SHAPE_DENYLIST.add(
+                                (int(parts[1]), int(parts[2])))
+                        # else: torn line (concurrent append / crash)
                     except ValueError:
                         continue
         except OSError:
@@ -304,14 +313,21 @@ def _load_failed_shapes() -> set:
     return _pallas_failed_shapes
 
 
-def _record_failed_shape(shape_key) -> None:
+def _record_failed_shape(shape_key, variant=None) -> None:
     import os
 
-    _load_failed_shapes().add(shape_key)
+    if variant == "v4":
+        from ..ops import pallas_cd
+
+        pallas_cd.V4_SHAPE_DENYLIST.add(shape_key)
+        line = f"v4 {shape_key[0]} {shape_key[1]}\n"
+    else:
+        _load_failed_shapes().add(shape_key)
+        line = f"{shape_key[0]} {shape_key[1]}\n"
     try:
         os.makedirs(os.path.dirname(_failed_shape_file()), exist_ok=True)
         with open(_failed_shape_file(), "a") as fh:
-            fh.write(f"{shape_key[0]} {shape_key[1]}\n")
+            fh.write(line)
     except OSError:
         pass
 
@@ -325,23 +341,43 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
     pallas_like = impl in ("pallas", "pallas_large")
     if not pallas_like or shape_key in _load_failed_shapes():
         return run("xla" if pallas_like else impl)
-    try:
-        return run(impl)
-    except Exception as e:  # compile-time failure surfaces at dispatch
-        msg = str(e)
-        logger.warning("%s kernel unavailable for block shape %s "
-                       "(%s); falling back to the XLA kernel", impl,
-                       shape_key, msg.splitlines()[0][:120])
+
+    def permanent(msg):
         # persist capacity/lowering failures AND compile-service crashes
         # (retrying a shape that 500s the helper has been observed to take
         # the TPU worker down with it); do NOT persist collateral errors
         # like UNAVAILABLE (worker already dead from an earlier crash) --
         # those shapes are innocent and normally compile fine
-        permanent = any(t in msg for t in (
+        return (any(t in msg for t in (
             "VMEM", "vmem", "Mosaic", "mosaic", "RESOURCE_EXHAUSTED",
             "relayout", "exceeds", "scoped", "Ran out of memory",
             "remote_compile", "HTTP 5", "INTERNAL"))
-        if permanent and "UNAVAILABLE" not in msg:
+            and "UNAVAILABLE" not in msg)
+
+    try:
+        return run(impl)
+    except Exception as e:  # compile-time failure surfaces at dispatch
+        msg = str(e)
+        if impl == "pallas_large" and shape_key is not None:
+            from ..ops.pallas_cd import pallas_pick_large_variant
+
+            if (pallas_pick_large_variant(*shape_key) == "v4"
+                    and permanent(msg)):
+                # deny only the v4 variant and retry: the re-trace
+                # auto-picks v3, whose performance is known-good --
+                # falling all the way to XLA would cost 3-4x
+                logger.warning("v4 kernel unavailable for block shape %s "
+                               "(%s); retrying on v3", shape_key,
+                               msg.splitlines()[0][:120])
+                _record_failed_shape(shape_key, variant="v4")
+                try:
+                    return run(impl)
+                except Exception as e2:
+                    msg = str(e2)
+        logger.warning("%s kernel unavailable for block shape %s "
+                       "(%s); falling back to the XLA kernel", impl,
+                       shape_key, msg.splitlines()[0][:120])
+        if permanent(msg):
             _record_failed_shape(shape_key)
         return run("xla")
 
@@ -461,11 +497,14 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         # MXU-friendly for the compact tail blocks.  On TPU the panelized
         # kernel's G-panel stream amortizes over the block: B=512
         # measured 0.0525 ms/col/sweep vs 0.0837 at B=256 (kernel A/B at
-        # the ML-20M shape).  SLIM_COMPACT_BMAX overrides the clamp for
-        # block-granularity A/Bs (sub-launch sizes are unaffected --
+        # the ML-20M shape).  Round-3 hardware A/B: B=1024 beat B=512
+        # end-to-end at ML-20M (49.3 s vs 55-67 s -- half the blocks, so
+        # half the dispatch/harvest/assembly overhead) and the union
+        # stays prefix-dominated.  SLIM_COMPACT_BMAX overrides the clamp
+        # for block-granularity A/Bs (sub-launch sizes are unaffected --
         # dispatch_split re-splits to each kernel's envelope).
         bmax = int(os.environ.get("SLIM_COMPACT_BMAX",
-                                  "512" if on_tpu else "256"))
+                                  "1024" if on_tpu else "256"))
         B = min(B, max(bmax, 32))
 
     def pick_impl(width, b):

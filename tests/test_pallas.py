@@ -201,3 +201,51 @@ def test_pallas_large_kernel_matches_xla():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_l[4]), np.asarray(out_x[4]),
                                rtol=1e-4)
+
+
+def test_v4_denylist_fallback(tmp_path, monkeypatch):
+    """A v4 compile failure denylists only the v4 variant for the shape
+    (persistently) and retries the block on v3 -- never straight to XLA."""
+    from slim_tpu.ops import pallas_cd
+    from slim_tpu.solvers import cd as cdmod
+
+    monkeypatch.setenv("SLIM_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(cdmod, "_pallas_failed_shapes", None)
+    monkeypatch.setattr(pallas_cd, "V4_SHAPE_DENYLIST", set())
+
+    shape = (128, 28672)
+    assert pallas_cd.pallas_pick_large_variant(*shape) == "v4"
+
+    calls = []
+
+    def run(impl):
+        calls.append((impl, pallas_cd.pallas_pick_large_variant(*shape)))
+        if len(calls) == 1:
+            raise RuntimeError("Mosaic failed to lower: VMEM exceeded")
+        return "ok"
+
+    out = cdmod._dispatch_with_fallback(run, "pallas_large", shape)
+    assert out == "ok"
+    # first attempt picked v4, retry re-picked v3 on the same impl
+    assert calls == [("pallas_large", "v4"), ("pallas_large", "v3")]
+    assert shape in pallas_cd.V4_SHAPE_DENYLIST
+    # the (B, npad) pair must NOT be in the all-kernels-failed set
+    assert shape not in cdmod._load_failed_shapes()
+
+    # persistence: a fresh load repopulates the v4 denylist from disk
+    monkeypatch.setattr(cdmod, "_pallas_failed_shapes", None)
+    monkeypatch.setattr(pallas_cd, "V4_SHAPE_DENYLIST", set())
+    cdmod._load_failed_shapes()
+    assert shape in pallas_cd.V4_SHAPE_DENYLIST
+    assert pallas_cd.pallas_pick_large_variant(*shape) == "v3"
+
+    # a v3 failure on the denylisted shape falls back to XLA and records
+    # the plain (B, npad) line
+    def run2(impl):
+        if impl == "pallas_large":
+            raise RuntimeError("Mosaic failed to lower: VMEM exceeded")
+        return "xla-ok"
+
+    assert cdmod._dispatch_with_fallback(run2, "pallas_large", shape) \
+        == "xla-ok"
+    assert shape in cdmod._load_failed_shapes()
