@@ -38,7 +38,9 @@ elif V3:
 else:
     sweep_raw = pc.pallas_cd_sweep_large
     ok = pc.pallas_large_supported(B, npad)
-out = {"panel": pc.PANEL, "group": pc.GROUP, "npad": npad, "B": B,
+out = {"panel": pc.PANEL,
+       "group": pc.pick_group_v4(npad, B) if V4 else pc.GROUP,
+       "npad": npad, "B": B,
        "v3": V3, "v4": V4,
        "kflush": pc.K_FLUSH if (V3 or V4) else None, "supported": ok}
 

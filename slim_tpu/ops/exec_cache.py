@@ -98,7 +98,8 @@ _KNOB_ENVS = (
     # otherwise an A/B flip silently loads the other setting's
     # executable from disk
     "SLIM_PALLAS_V3", "SLIM_PALLAS_V4", "SLIM_PALLAS_KFLUSH",
-    "SLIM_PALLAS_PANEL", "SLIM_PALLAS_GROUP", "SLIM_PALLAS_MAXB")
+    "SLIM_PALLAS_PANEL", "SLIM_PALLAS_GROUP", "SLIM_PALLAS_V4_GROUP",
+    "SLIM_PALLAS_MAXB")
 
 
 def _knob_sig() -> str:

@@ -888,14 +888,14 @@ def pallas_large_v3_supported(B: int, npad: int) -> bool:
 
 
 def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
-                           K: int,
+                           K: int, group: int,
                            # scalar-prefetch refs
                            perm_ref, has_ref,
                            # pipelined per-group blocks
-                           ggg_ref,    # (GROUP, GROUP) diagonal block of G
-                           gj_ref,     # (GROUP, B) target-Gram group (T)
-                           act_ref,    # (GROUP, B) int8 active group (T)
-                           diag_ref,   # (1, GROUP) Gram diagonal group
+                           ggg_ref,    # (group, group) diagonal block of G
+                           gj_ref,     # (group, B) target-Gram group (T)
+                           act_ref,    # (group, B) int8 active group (T)
+                           diag_ref,   # (1, group) Gram diagonal group
                            # HBM operands
                            g_hbm, x_in_hbm, q_in_hbm,   # x/q: (npad, B)
                            # small VMEM inputs
@@ -908,8 +908,8 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                            qpan_scr, sems):
     """Transposed :func:`_sweep_kernel_large_v3` (same math, same window
     invariant).  All equations use G's symmetry: a v3 product
-    ``dx (B,GROUP) . G[win, p] (GROUP, PANEL)`` becomes
-    ``G[p, win] (PANEL, GROUP) . dx (GROUP, B)`` on the same bytes."""
+    ``dx (B,group) . G[win, p] (group, PANEL)`` becomes
+    ``G[p, win] (PANEL, group) . dx (group, B)`` on the same bytes."""
     g = pl.program_id(0)
     l1 = regs_ref[0:1, :]
     l2 = regs_ref[1:2, :]
@@ -931,23 +931,23 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
         cp_x.wait()
         cp_q.wait()
 
-    base = pl.multiple_of(perm_ref[g] * GROUP, GROUP)
+    base = pl.multiple_of(perm_ref[g] * group, group)
 
     def win_base(k):
-        return pl.multiple_of(perm_ref[g0 + k] * GROUP, GROUP)
+        return pl.multiple_of(perm_ref[g0 + k] * group, group)
 
     @pl.when(has_ref[g] != 0)
     def _():
         live = live_ref[...]                          # (1, B)
-        okf = act_ref[...].astype(F32) * live         # (GROUP, B)
-        gjloc = gj_ref[...]                           # (GROUP, B)
-        dloc = diag_ref[...]                          # (1, GROUP)
-        ggg = ggg_ref[...]                            # (GROUP, GROUP)
+        okf = act_ref[...].astype(F32) * live         # (group, B)
+        gjloc = gj_ref[...]                           # (group, B)
+        dloc = diag_ref[...]                          # (1, group)
+        ggg = ggg_ref[...]                            # (group, group)
 
         cp_x = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(base, GROUP), :], xg_scr, sems.at[0])
+            x_hbm.at[pl.ds(base, group), :], xg_scr, sems.at[0])
         cp_q = pltpu.make_async_copy(
-            q_hbm.at[pl.ds(base, GROUP), :], qg_scr, sems.at[1])
+            q_hbm.at[pl.ds(base, group), :], qg_scr, sems.at[1])
         cp_x.start()
         cp_q.start()
         cp_x.wait()
@@ -958,15 +958,15 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
             @pl.when(k < slot_in_win)
             def _(k=k):
                 cp = pltpu.make_async_copy(
-                    g_hbm.at[pl.ds(base, GROUP),
-                             pl.ds(win_base(k), GROUP)],
+                    g_hbm.at[pl.ds(base, group),
+                             pl.ds(win_base(k), group)],
                     gcor_scr.at[k % 2], sems.at[6 + k % 2])
                 cp.start()
                 cp.wait()
                 qg_scr[...] += jnp.dot(gcor_scr[k % 2], dxk_scr[k],
                                        preferred_element_type=F32)
 
-        for sub in range(GROUP // CHUNK):
+        for sub in range(group // CHUNK):
             o = sub * CHUNK
             xloc = xg_scr[pl.ds(o, CHUNK), :]         # (CHUNK, B) value
             ql = qg_scr[pl.ds(o, CHUNK), :]
@@ -994,7 +994,7 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                                    preferred_element_type=F32)
 
         cp_xo = pltpu.make_async_copy(
-            xg_scr, x_hbm.at[pl.ds(base, GROUP), :], sems.at[0])
+            xg_scr, x_hbm.at[pl.ds(base, group), :], sems.at[0])
         cp_xo.start()
         for k in range(K):
             @pl.when(slot_in_win == k)
@@ -1008,7 +1008,7 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
         for k in range(K):
             @pl.when(slot_in_win == k)
             def _(k=k):
-                dxk_scr[k, :, :] = jnp.zeros((GROUP, B), F32)
+                dxk_scr[k, :, :] = jnp.zeros((group, B), F32)
 
     win_any = jnp.zeros((), jnp.int32)
     for k in range(K):
@@ -1020,7 +1020,7 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
         def start_g(pb, k, slot):
             off = pl.multiple_of(pb * PANEL, PANEL)
             pltpu.make_async_copy(
-                g_hbm.at[pl.ds(off, PANEL), pl.ds(win_base(k), GROUP)],
+                g_hbm.at[pl.ds(off, PANEL), pl.ds(win_base(k), group)],
                 gpan_scr.at[slot], sems.at[2 + slot]).start()
 
         def wait_g(slot):
@@ -1097,12 +1097,13 @@ def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
     live/nit/dltx are (1, B), regsT is (5, B).  Same window contract as
     :func:`pallas_cd_sweep_large_v3`."""
     npad, B = gjT.shape
-    ngroups = npad // GROUP
+    group = pick_group_v4(npad, B)
+    ngroups = npad // group
     npanels = npad // PANEL
     K = K_FLUSH
     assert ngroups % K == 0
     kernel = functools.partial(_sweep_kernel_large_v4, ngroups, npanels,
-                               B, npad, K)
+                               B, npad, K, group)
 
     def group_rows(g, perm, has):
         return (perm[g], 0)
@@ -1120,10 +1121,10 @@ def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
         num_scalar_prefetch=2,
         grid=(ngroups,),
         in_specs=[
-            pl.BlockSpec((GROUP, GROUP), ggg_map),
-            pl.BlockSpec((GROUP, B), group_rows),
-            pl.BlockSpec((GROUP, B), group_rows),
-            pl.BlockSpec((1, GROUP), diag_cols),
+            pl.BlockSpec((group, group), ggg_map),
+            pl.BlockSpec((group, B), group_rows),
+            pl.BlockSpec((group, B), group_rows),
+            pl.BlockSpec((1, group), diag_cols),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1138,11 +1139,11 @@ def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
             pl.BlockSpec((1, B), whole),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GROUP, B), F32),              # x group tile
-            pltpu.VMEM((GROUP, B), F32),              # q group tile
-            pltpu.VMEM((K, GROUP, B), F32),           # window deltas
-            pltpu.VMEM((2, GROUP, GROUP), F32),       # correction G blocks
-            pltpu.VMEM((2, PANEL, GROUP), F32),       # flush G panels
+            pltpu.VMEM((group, B), F32),              # x group tile
+            pltpu.VMEM((group, B), F32),              # q group tile
+            pltpu.VMEM((K, group, B), F32),           # window deltas
+            pltpu.VMEM((2, group, group), F32),       # correction G blocks
+            pltpu.VMEM((2, PANEL, group), F32),       # flush G panels
             pltpu.VMEM((2, PANEL, B), F32),           # flush q panels
             pltpu.SemaphoreType.DMA((8,)),
         ],
@@ -1165,10 +1166,48 @@ def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
     return xo, qo, lo, nit, dl
 
 
+def _v4_budget_ok(B: int, npad: int, group: int) -> bool:
+    """v3's capacity/divisibility domain evaluated at an explicit
+    supergroup size (every v4 scratch tile is the v3 tile transposed,
+    so the byte budget is identical)."""
+    K = K_FLUSH
+    scratch = ((2 + K) * B * group * 4            # x/q tiles + K deltas
+               + 2 * group * group * 4            # correction blocks
+               + 2 * group * PANEL * 4            # G panels (dbuf)
+               + 2 * B * PANEL * 4)               # q panels (dbuf)
+    pipe = 2 * (group * group * 4
+                + B * group * 4 + B * group + group * 4)
+    temps = 4 * B * group * 4
+    maxb = int(_os.environ.get("SLIM_PALLAS_MAXB", "512"))
+    ngroups = npad // group if group and npad % group == 0 else 0
+    return (npad % PANEL == 0 and group % CHUNK == 0 and B % 32 == 0
+            and B <= maxb and K % 2 == 0 and ngroups > 0
+            and ngroups % K == 0
+            and scratch + 2 * (pipe + temps) < 88 * 1024 * 1024)
+
+
+def pick_group_v4(npad: int, B: int) -> int:
+    """Supergroup size the v4 kernel uses at this shape: the global GROUP
+    unless SLIM_PALLAS_V4_GROUP forces a different (budget-admissible)
+    per-shape value.
+
+    Why 512 stays the default despite group=1024 winning the all-active
+    microbench (8.26 vs 9.96 ms/sweep at (512, 28672), round-3 hardware
+    A/B): end-to-end ML-20M learn measured SLOWER at 1024 (solve+harvest
+    34.1 s vs 30.1 s) -- production sweeps are straggler-dominated once
+    most columns converge, and the active-window skipping quantizes to
+    the group size, so coarser groups re-sweep up to 2x the dead
+    coordinates.  The knob exists so other workloads can A/B it."""
+    g = int(_os.environ.get("SLIM_PALLAS_V4_GROUP", "0"))
+    if g and _v4_budget_ok(B, npad, g):
+        return g
+    return GROUP
+
+
 def pallas_large_v4_supported(B: int, npad: int) -> bool:
-    """Viable domain of the transposed deferred-flush kernel (same VMEM
-    budget as v3: every scratch tile is the v3 tile transposed)."""
-    return pallas_large_v3_supported(B, npad)
+    """Viable domain of the transposed deferred-flush kernel at the
+    supergroup size :func:`pick_group_v4` selects for the shape."""
+    return _v4_budget_ok(B, npad, pick_group_v4(npad, B))
 
 
 def pallas_large_supported(B: int, npad: int) -> bool:
@@ -1196,9 +1235,11 @@ def pallas_large_max_block(npad: int, cap: int = 256) -> int:
     none); the solve core auto-selects v3 when its domain admits the
     shape."""
     v3_ok = _os.environ.get("SLIM_PALLAS_V3", "1") != "0"
+    v4_ok = _os.environ.get("SLIM_PALLAS_V4", "1") != "0"
 
     def ok(b):
-        return ((v3_ok and pallas_large_v3_supported(b, npad))
+        return ((v4_ok and pallas_large_v4_supported(b, npad))
+                or (v3_ok and pallas_large_v3_supported(b, npad))
                 or pallas_large_supported(b, npad))
 
     b = max((cap // 32) * 32, 32)
@@ -1336,7 +1377,7 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
     coordinate-major through the v4 kernel, and the solution is
     transposed back for the stats epilogue."""
     B, npad = gj.shape
-    ngroups = npad // GROUP
+    ngroups = npad // pick_group_v4(npad, B)
     act_i8T = active.T.astype(jnp.int8)
     act_fT = active.T.astype(F32)
     gjT = gj.T.astype(F32)
@@ -1368,7 +1409,7 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         else:
             perm = jnp.arange(ngroups, dtype=jnp.int32)
         group_any = (jnp.sum(act_fT * live, axis=1)
-                     .reshape(ngroups, GROUP).sum(axis=1) > 0)
+                     .reshape(ngroups, npad // ngroups).sum(axis=1) > 0)
         # cluster active groups at the front (see the v3 comment)
         inactive = (~jnp.take(group_any, perm)).astype(jnp.int32)
         perm = jnp.take(perm, jnp.argsort(inactive, stable=True))

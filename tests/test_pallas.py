@@ -249,3 +249,58 @@ def test_v4_denylist_fallback(tmp_path, monkeypatch):
     assert cdmod._dispatch_with_fallback(run2, "pallas_large", shape) \
         == "xla-ok"
     assert shape in cdmod._load_failed_shapes()
+
+
+def test_pallas_v4_group_pick(monkeypatch):
+    """pick_group_v4: the global GROUP by default (group=1024 lost the
+    end-to-end A/B to straggler-sweep skipping granularity); a forced
+    SLIM_PALLAS_V4_GROUP engages only where the budget/K-window admits
+    it."""
+    from slim_tpu.ops import pallas_cd as pc
+
+    assert pc.pick_group_v4(4096, 32) == pc.GROUP
+    assert pc.pick_group_v4(28672, 512) == pc.GROUP
+    monkeypatch.setenv("SLIM_PALLAS_V4_GROUP", "1024")
+    assert pc.pick_group_v4(4096, 32) == 1024       # ngroups=4, K=4
+    assert pc.pick_group_v4(28672, 512) == 1024     # the ML-20M head shape
+    assert pc.pick_group_v4(2048, 32) == pc.GROUP   # ngroups=2 < K window
+    assert pc.pick_group_v4(6144, 32) == pc.GROUP   # ngroups=6 % 4 != 0
+
+
+def test_pallas_large_v4_group1024_matches_xla(monkeypatch):
+    """v4 parity at a forced non-default supergroup (group=1024), the
+    per-shape layout the SLIM_PALLAS_V4_GROUP A/B knob engages."""
+    import jax
+    from slim_tpu.ops import pallas_cd as pc
+    from slim_tpu.ops.cd_kernel import cd_solve_block
+
+    monkeypatch.setenv("SLIM_PALLAS_V4_GROUP", "1024")
+    npad = 4096
+    assert pc.pick_group_v4(npad, 32) == 1024
+    rng = np.random.default_rng(13)
+    n = 90
+    mat = random_csr(rng, 120, n, density=0.25, seed=13)
+    G = compute_gram(mat, "host", pad_to=npad)
+    Gh = np.array(G)
+    np.fill_diagonal(Gh, np.maximum(np.diagonal(Gh), 1.0))
+    G = jnp.asarray(Gh)
+    diag = jnp.diagonal(G)
+    B = 32
+    J = np.arange(B, dtype=np.int32) % n
+    gj = jnp.take(G, jnp.asarray(J), axis=1).T
+    cols = jnp.arange(npad, dtype=jnp.int32)
+    active = (gj > 0.3) & (cols[None, :] != jnp.asarray(J)[:, None])
+    yty = jnp.take(diag, jnp.asarray(J))
+    x0 = jnp.zeros((B, npad), jnp.float32)
+    caps = jnp.full((B,), 200, jnp.int32)
+    # fresh (unjitted-wrapper) trace so the env knob is re-read
+    out_l = jax.jit(pc.pallas_solve_large_core, static_argnames=(
+        "shuffle", "interpret", "use_v4"))(
+        G, gj, diag, active, x0, caps, yty, 0.3, 0.5, 1e-10, 7,
+        shuffle=False, interpret=True, use_v4=True)
+    out_x = cd_solve_block(G, gj, diag, active, x0, caps, yty,
+                           0.3, 0.5, 1e-10, 7, shuffle=False)
+    np.testing.assert_allclose(np.asarray(out_l[0]),
+                               np.asarray(out_x[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_l[4]),
+                               np.asarray(out_x[4]), rtol=1e-4)
