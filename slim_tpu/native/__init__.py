@@ -78,6 +78,10 @@ def _load():
         lib.slim_parse_tokens.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, f64p, ctypes.c_int64,
             i64p, i64p]
+        lib.slim_csr_from_blocks.restype = None
+        lib.slim_csr_from_blocks.argtypes = [
+            ctypes.c_int32, ctypes.POINTER(i32p), ctypes.POINTER(i32p),
+            ctypes.POINTER(f32p), i64p, ctypes.c_int32, i64p, i32p, f32p]
         lib.slim_free.restype = None
         lib.slim_free.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -229,3 +233,38 @@ def predict_topn(model, hist, nrcmds=10, nthreads=0):
         scores.ctypes.data_as(f32p), counts.ctypes.data_as(i32p),
         np.int32(nthreads))
     return ids, scores, counts
+
+
+def csr_from_blocks(rows_list, cols_list, vals_list, nrows):
+    """Threaded CSR assembly from COO fragments (no duplicate (row, col)
+    pairs -- the model-harvest contract).  Returns (indptr int64,
+    indices int32, data float32) with per-row sorted columns, or None when
+    the native library is unavailable (caller falls back to
+    CSR.from_ijv over concatenated fragments)."""
+    lib = _load()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    rows = [np.ascontiguousarray(r, dtype=np.int32) for r in rows_list]
+    cols = [np.ascontiguousarray(c, dtype=np.int32) for c in cols_list]
+    vals = [np.ascontiguousarray(v, dtype=np.float32) for v in vals_list]
+    nfrag = len(rows)
+    sizes = np.array([r.size for r in rows], dtype=np.int64)
+    total = int(sizes.sum())
+    indptr = np.empty(nrows + 1, dtype=np.int64)
+    indices = np.empty(total, dtype=np.int32)
+    data = np.empty(total, dtype=np.float32)
+    if nfrag == 0 or total == 0:
+        indptr[:] = 0
+        return indptr, indices, data
+    rp = (i32p * nfrag)(*[r.ctypes.data_as(i32p) for r in rows])
+    cp = (i32p * nfrag)(*[c.ctypes.data_as(i32p) for c in cols])
+    vp = (f32p * nfrag)(*[v.ctypes.data_as(f32p) for v in vals])
+    lib.slim_csr_from_blocks(
+        np.int32(nfrag), rp, cp, vp, sizes.ctypes.data_as(i64p),
+        np.int32(nrows), indptr.ctypes.data_as(i64p),
+        indices.ctypes.data_as(i32p), data.ctypes.data_as(f32p))
+    return indptr, indices, data

@@ -18,11 +18,13 @@
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 dependency).
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 #ifdef _OPENMP
@@ -340,6 +342,88 @@ int64_t slim_parse_tokens(const char *buf, int64_t len, double *out,
   if (len > 0 && buf[len - 1] != '\n') line_breaks[nline++] = ntok;
   *n_lines = nline;
   return ntok;
+}
+
+// ------------------------------------------------------------------ //
+// parallel CSR assembly from COO fragments
+// ------------------------------------------------------------------ //
+// Builds a row-sorted CSR from nfrag COO fragments (rows/cols/vals
+// triplet arrays).  Caller guarantees no duplicate (row, col) pairs and
+// rows in [0, nrows) -- the model-harvest contract (each (coord, target)
+// appears exactly once; see solvers/cd.py assembly).  Replaces the
+// host assembly pipeline `np.concatenate x3 -> scipy coo->csr ->
+// sort_indices` (~6 s single-threaded at the 34M-entry ML-20M model)
+// with one threaded counting sort + per-row column sorts.
+//
+// indptr must hold nrows+1 int64; indices/data must hold sum(sizes).
+void slim_csr_from_blocks(int32_t nfrag, const int32_t *const *rows_list,
+                          const int32_t *const *cols_list,
+                          const float *const *vals_list,
+                          const int64_t *sizes, int32_t nrows,
+                          int64_t *indptr, int32_t *indices, float *data) {
+  // 1. row histogram (thread-local, merged)
+  std::vector<int64_t> hist(nrows, 0);
+#pragma omp parallel
+  {
+    std::vector<int64_t> loc(nrows, 0);
+#pragma omp for schedule(dynamic) nowait
+    for (int32_t f = 0; f < nfrag; ++f) {
+      const int32_t *r = rows_list[f];
+      const int64_t sz = sizes[f];
+      for (int64_t i = 0; i < sz; ++i) ++loc[r[i]];
+    }
+#pragma omp critical
+    for (int32_t row = 0; row < nrows; ++row) hist[row] += loc[row];
+  }
+  // 2. prefix sum -> indptr; cursors start at the row offsets
+  indptr[0] = 0;
+  for (int32_t row = 0; row < nrows; ++row)
+    indptr[row + 1] = indptr[row] + hist[row];
+  std::vector<int64_t> cur(indptr, indptr + nrows);
+  // 3. placement: atomic per-row cursors keep fragments parallel without
+  //    per-(fragment, row) offset tables (which would be nfrag*nrows --
+  //    32 GB at a 2M-item catalogue's 2000 blocks)
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t f = 0; f < nfrag; ++f) {
+    const int32_t *r = rows_list[f];
+    const int32_t *c = cols_list[f];
+    const float *v = vals_list[f];
+    const int64_t sz = sizes[f];
+    for (int64_t i = 0; i < sz; ++i) {
+      int64_t p;
+#pragma omp atomic capture
+      p = cur[r[i]]++;
+      indices[p] = c[i];
+      data[p] = v[i];
+    }
+  }
+  // 4. per-row column sort (the CSR invariant every consumer assumes)
+#pragma omp parallel
+  {
+    std::vector<std::pair<int32_t, float>> tmp;
+#pragma omp for schedule(dynamic, 256)
+    for (int32_t row = 0; row < nrows; ++row) {
+      const int64_t s = indptr[row], e = indptr[row + 1];
+      const int64_t m = e - s;
+      if (m < 2) continue;
+      bool sorted = true;
+      for (int64_t i = s + 1; i < e; ++i)
+        if (indices[i] < indices[i - 1]) { sorted = false; break; }
+      if (sorted) continue;
+      tmp.resize(m);
+      for (int64_t i = 0; i < m; ++i)
+        tmp[i] = {indices[s + i], data[s + i]};
+      std::sort(tmp.begin(), tmp.end(),
+                [](const std::pair<int32_t, float> &a,
+                   const std::pair<int32_t, float> &b) {
+                  return a.first < b.first;
+                });
+      for (int64_t i = 0; i < m; ++i) {
+        indices[s + i] = tmp[i].first;
+        data[s + i] = tmp[i].second;
+      }
+    }
+  }
 }
 
 }  // extern "C"

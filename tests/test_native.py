@@ -193,3 +193,45 @@ def test_native_work_based_dispatch(rng, monkeypatch):
         k = int(dc[u])
         np.testing.assert_allclose(np.sort(nsc[u][:k]), np.sort(dsc[u][:k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_native_csr_from_blocks(rng):
+    """Threaded fragment assembly == from_ijv on concatenated fragments
+    (unsorted in-row columns, empty fragments, empty rows, empty input)."""
+    from slim_tpu import native
+    from slim_tpu.types import CSR
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    n = 57
+    frags = []
+    taken = set()
+    for f in range(5):
+        m = [0, 13, 1, 40, 9][f]
+        rows, cols = [], []
+        while len(rows) < m:
+            r, c = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if (r, c) in taken:
+                continue
+            taken.add((r, c))
+            rows.append(r)
+            cols.append(c)
+        frags.append((np.array(rows, np.int32), np.array(cols, np.int32),
+                      rng.random(m).astype(np.float32)))
+    built = native.csr_from_blocks([f[0] for f in frags],
+                                   [f[1] for f in frags],
+                                   [f[2] for f in frags], n)
+    assert built is not None
+    got = CSR.from_arrays(n, n, *built)
+    want = CSR.from_ijv(np.concatenate([f[0] for f in frags]),
+                        np.concatenate([f[1] for f in frags]),
+                        np.concatenate([f[2] for f in frags]),
+                        nrows=n, ncols=n, no_duplicates=True)
+    np.testing.assert_array_equal(got.indptr, want.indptr)
+    np.testing.assert_array_equal(got.indices, want.indices)
+    np.testing.assert_allclose(got.values(), want.values())
+
+    empty = native.csr_from_blocks([], [], [], 4)
+    assert empty is not None and empty[0][-1] == 0 and empty[1].size == 0
