@@ -84,10 +84,12 @@ def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype", "impl"))
+    jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype", "impl",
+                              "x0_zero"))
 def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
                        l1r, l2r, optTol, seed, shuffle=True,
-                       fslim_nnbrs=0, simtype="cos", impl="xla"):
+                       fslim_nnbrs=0, simtype="cos", impl="xla",
+                       x0_zero=False):
     """Column-id entry point: derives gj / active-set / yty from G inside
     the compiled program (one compile for the whole learn loop -- per-block
     eager slicing would trigger separate compilations on remote-compile
@@ -120,7 +122,8 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
 
         return pallas_solve_large_core(G, gj, diag, active, x0,
                                        col_maxniters, yty, l1r, l2r, optTol,
-                                       seed, shuffle=shuffle)
+                                       seed, shuffle=shuffle,
+                                       x0_zero=x0_zero)
     return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
@@ -239,10 +242,11 @@ def block_union_mask(G, j_ids, l1r, K, fslim_nnbrs=0, simtype="cos"):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shuffle", "impl", "fslim_nnbrs", "simtype"))
+    jax.jit, static_argnames=("shuffle", "impl", "fslim_nnbrs", "simtype",
+                              "x0_zero"))
 def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
                            l1r, l2r, optTol, seed, shuffle=True, impl="xla",
-                           fslim_nnbrs=0, simtype="cos"):
+                           fslim_nnbrs=0, simtype="cos", x0_zero=False):
     """Solve a block in the compacted coordinate space S (from
     :func:`block_union_mask`).
 
@@ -285,7 +289,8 @@ def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
 
         return pallas_solve_large_core(Gs, gjs, diag_s, active_s, x0s,
                                        col_maxniters, yty, l1v, l2v, optTol,
-                                       seed, shuffle=shuffle)
+                                       seed, shuffle=shuffle,
+                                       x0_zero=x0_zero)
     return _cd_core(Gs, gjs, diag_s, active_s, x0s, col_maxniters, yty,
                     l1v, l2v, optTol, seed, shuffle)
 

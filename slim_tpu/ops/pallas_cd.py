@@ -1248,7 +1248,10 @@ def pallas_large_max_block(npad: int, cap: int = 256) -> int:
     return b if b >= 32 else 0
 
 
-Q_REFRESH = 8  # sweeps between exact q = Gx recomputes (drift guard)
+# sweeps between exact q = Gx recomputes (drift guard; the kernels carry
+# q exactly via f32 MXU propagation, so this bounds accumulation error,
+# not correctness of the update order).  Env-tunable for A/B.
+Q_REFRESH = int(_os.environ.get("SLIM_PALLAS_QREFRESH", "8"))
 
 # (B, npad) shapes whose v4 compile failed on this toolchain; populated
 # from the persistent failed-shape file by solvers.cd at load time and
@@ -1276,7 +1279,8 @@ def pallas_pick_large_variant(B: int, npad: int) -> str:
 
 def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
                             l1r, l2r, optTol, seed, shuffle=True,
-                            interpret=False, use_v3=None, use_v4=None):
+                            interpret=False, use_v3=None, use_v4=None,
+                            x0_zero=False):
     """Block solve on the panelized kernel (HBM-resident x/q): JAX while
     over sweeps, per-column convergence in-kernel.  q is carried between
     launches (the kernel maintains it exactly via f32 MXU propagation)
@@ -1300,7 +1304,8 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
     if use_v4:
         return _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters,
                                     yty, l1r, l2r, optTol, seed,
-                                    shuffle=shuffle, interpret=interpret)
+                                    shuffle=shuffle, interpret=interpret,
+                                    x0_zero=x0_zero)
     if use_v3 is None:
         use_v3 = (_os.environ.get("SLIM_PALLAS_V3", "1") != "0"
                   and pallas_large_v3_supported(B, npad))
@@ -1346,7 +1351,8 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
         regs = jnp.stack(
             [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
              jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=1)
-        q = jax.lax.cond(t % Q_REFRESH == 0, exact_q, lambda _x: q, x)
+        q = jax.lax.cond((t % Q_REFRESH == 0) & (t > 0),
+                         exact_q, lambda _x: q, x)
         xn, qn, liven, nit_d, dl = sweep_fn(
             G, gj, act_i8, x, q, live, diag2d, regs, perm, has,
             interpret=interpret)
@@ -1354,8 +1360,9 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
         conv = conv | (died & (dl[:, 0] < jnp.asarray(optTol, F32)))
         return xn, qn, liven, niters + nit_d[:, 0], conv, t + 1
 
+    q0 = jnp.zeros_like(x0) if x0_zero else exact_q(x0)
     x, q, live, niters_f, converged, t = jax.lax.while_loop(
-        cond, body, (x0, exact_q(x0), live0, jnp.zeros(B, F32), conv0,
+        cond, body, (x0, q0, live0, jnp.zeros(B, F32), conv0,
                      jnp.zeros((), jnp.int32)))
 
     niters = niters_f.astype(jnp.int32)
@@ -1370,7 +1377,7 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
 
 def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
                          l1r, l2r, optTol, seed, shuffle=True,
-                         interpret=False):
+                         interpret=False, x0_zero=False):
     """Transposed-layout sweep loop (see :func:`pallas_solve_large_core`):
     all (B, npad) operands are transposed ONCE outside the while loop
     (XLA transposes, negligible next to the sweeps), carried
@@ -1417,7 +1424,8 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         regsT = jnp.stack(
             [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
              jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=0)
-        qT = jax.lax.cond(t % Q_REFRESH == 0, exact_qT, lambda _x: qT, xT)
+        qT = jax.lax.cond((t % Q_REFRESH == 0) & (t > 0),
+                          exact_qT, lambda _x: qT, xT)
         xn, qn, liven, nit_d, dl = pallas_cd_sweep_large_v4(
             G, gjT, act_i8T, xT, qT, live, diag2d, regsT, perm, has,
             interpret=interpret)
@@ -1425,8 +1433,9 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         conv = conv | (died & (dl[0] < jnp.asarray(optTol, F32)))
         return xn, qn, liven, niters + nit_d[0], conv, t + 1
 
+    qT0 = jnp.zeros_like(x0T) if x0_zero else exact_qT(x0T)
     xT, qT, live, niters_f, converged, t = jax.lax.while_loop(
-        cond, body, (x0T, exact_qT(x0T), live0, jnp.zeros(B, F32), conv0,
+        cond, body, (x0T, qT0, live0, jnp.zeros(B, F32), conv0,
                      jnp.zeros((), jnp.int32)))
 
     x = xT.T

@@ -175,7 +175,7 @@ def estimate_grid_cd(train: CSR, cfg: SlimConfig, points):
                  jnp.asarray(l1b), jnp.asarray(l2b), float(cfg.optTol),
                  int(cfg.seed) + v0),
                 dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
-                     simtype=cfg.simtype, impl=im))
+                     simtype=cfg.simtype, impl=im, x0_zero=True))
 
         out = _dispatch_with_fallback(run, impl, (B, npad))
         pending.append((v0, nv, out))
@@ -680,7 +680,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                      float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                      int(cfg.seed) + blk),
                     dict(shuffle=cfg.shuffle, impl=im,
-                         fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype))
+                         fslim_nnbrs=int(fslim_nnbrs), simtype=cfg.simtype,
+                         x0_zero=not use_warm))
 
             return (blk, nJ, dispatch_split(solve_cols, K),
                     union_S_host[blk])
@@ -693,7 +694,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                  float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
                  int(cfg.seed) + blk),
                 dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
-                     simtype=cfg.simtype, impl=im))
+                     simtype=cfg.simtype, impl=im, x0_zero=not use_warm))
 
         return (blk, nJ, dispatch_split(solve_cols, npad), None)
 
