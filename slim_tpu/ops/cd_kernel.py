@@ -83,13 +83,25 @@ def fslim_active_mask(gj, diag, self_ids, n_valid, nnbrs, simtype,
         jnp.arange(B)[:, None], ids_k].max(valid)
 
 
+def _large_variant_kwargs(variant):
+    """Map the driver-resolved kernel variant onto
+    :func:`pallas_solve_large_core`'s use_v3/use_v4 selectors.  ``None``
+    keeps the trace-time auto-pick; an explicit value pins the variant --
+    and, because ``variant`` is a *static* jit argument, re-keys JAX's
+    trace cache so a post-denylist retry actually re-traces instead of
+    reusing the failed variant's cached jaxpr (round-3 advisor finding)."""
+    if variant is None:
+        return {}
+    return dict(use_v4=(variant == "v4"), use_v3=(variant == "v3"))
+
+
 @functools.partial(
     jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype", "impl",
-                              "x0_zero"))
+                              "x0_zero", "variant"))
 def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
                        l1r, l2r, optTol, seed, shuffle=True,
                        fslim_nnbrs=0, simtype="cos", impl="xla",
-                       x0_zero=False):
+                       x0_zero=False, variant=None):
     """Column-id entry point: derives gj / active-set / yty from G inside
     the compiled program (one compile for the whole learn loop -- per-block
     eager slicing would trigger separate compilations on remote-compile
@@ -123,7 +135,8 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
         return pallas_solve_large_core(G, gj, diag, active, x0,
                                        col_maxniters, yty, l1r, l2r, optTol,
                                        seed, shuffle=shuffle,
-                                       x0_zero=x0_zero)
+                                       x0_zero=x0_zero,
+                                       **_large_variant_kwargs(variant))
     return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)
 
@@ -243,10 +256,11 @@ def block_union_mask(G, j_ids, l1r, K, fslim_nnbrs=0, simtype="cos"):
 
 @functools.partial(
     jax.jit, static_argnames=("shuffle", "impl", "fslim_nnbrs", "simtype",
-                              "x0_zero"))
+                              "x0_zero", "variant"))
 def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
                            l1r, l2r, optTol, seed, shuffle=True, impl="xla",
-                           fslim_nnbrs=0, simtype="cos", x0_zero=False):
+                           fslim_nnbrs=0, simtype="cos", x0_zero=False,
+                           variant=None):
     """Solve a block in the compacted coordinate space S (from
     :func:`block_union_mask`).
 
@@ -290,7 +304,8 @@ def cd_solve_block_compact(G, S, j_ids, col_maxniters, x0s,
         return pallas_solve_large_core(Gs, gjs, diag_s, active_s, x0s,
                                        col_maxniters, yty, l1v, l2v, optTol,
                                        seed, shuffle=shuffle,
-                                       x0_zero=x0_zero)
+                                       x0_zero=x0_zero,
+                                       **_large_variant_kwargs(variant))
     return _cd_core(Gs, gjs, diag_s, active_s, x0s, col_maxniters, yty,
                     l1v, l2v, optTol, seed, shuffle)
 

@@ -99,16 +99,17 @@ _KNOB_ENVS = (
     # executable from disk
     "SLIM_PALLAS_V3", "SLIM_PALLAS_V4", "SLIM_PALLAS_KFLUSH",
     "SLIM_PALLAS_PANEL", "SLIM_PALLAS_GROUP", "SLIM_PALLAS_V4_GROUP",
-    "SLIM_PALLAS_MAXB")
+    "SLIM_PALLAS_MAXB", "SLIM_PALLAS_QREFRESH")
 
 
 def _knob_sig() -> str:
-    from . import pallas_cd
-
-    knobs = [f"{k}={os.environ.get(k, '')}" for k in _KNOB_ENVS]
-    # the v4 shape denylist also steers trace-time kernel selection
-    knobs.append(f"v4deny={sorted(pallas_cd.V4_SHAPE_DENYLIST)}")
-    return ";".join(knobs)
+    # NB: the v4 shape denylist no longer keys the cache.  The driver
+    # resolves the variant at dispatch time and passes it as an explicit
+    # static (solvers.cd._inject_variant), so the denylist's effect is
+    # already in ``statics`` -- and keying on the global set would
+    # invalidate EVERY cached executable whenever one new shape fails
+    # (a full recompile storm in an already-degraded session).
+    return ";".join(f"{k}={os.environ.get(k, '')}" for k in _KNOB_ENVS)
 
 
 def _make_key(name: str, args, statics: dict) -> str:

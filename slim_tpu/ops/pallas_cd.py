@@ -1250,8 +1250,12 @@ def pallas_large_max_block(npad: int, cap: int = 256) -> int:
 
 # sweeps between exact q = Gx recomputes (drift guard; the kernels carry
 # q exactly via f32 MXU propagation, so this bounds accumulation error,
-# not correctness of the update order).  Env-tunable for A/B.
+# not correctness of the update order).  Env-tunable for A/B;
+# 0 / negative = never refresh (and must not reach the traced ``t %
+# Q_REFRESH``, where a zero modulus is undefined).
 Q_REFRESH = int(_os.environ.get("SLIM_PALLAS_QREFRESH", "8"))
+if Q_REFRESH <= 0:
+    Q_REFRESH = 1 << 30
 
 # (B, npad) shapes whose v4 compile failed on this toolchain; populated
 # from the persistent failed-shape file by solvers.cd at load time and

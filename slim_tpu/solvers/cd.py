@@ -36,10 +36,27 @@ logger = logging.getLogger("slim_tpu")
 EPSILON = 1e-7  # model nonzero threshold (reference def.h:14)
 
 
+def _inject_variant(statics, B, width):
+    """Resolve the pallas_large kernel variant (v4/v3/eager) at DISPATCH
+    time and pass it as an explicit static argument.  Resolving inside the
+    trace would bake the decision into JAX's trace cache: after a v4
+    compile failure denylists the shape, a retry with identical statics
+    would silently reuse the cached v4 jaxpr and fail again (round-3
+    advisor finding).  The explicit static re-keys both the trace cache
+    and the persistent executable cache."""
+    if statics.get("impl") == "pallas_large" and "variant" not in statics:
+        from ..ops.pallas_cd import pallas_pick_large_variant
+
+        statics = dict(statics, variant=pallas_pick_large_variant(B, width))
+    return statics
+
+
 def _solve_ids(args, statics):
     """cd_solve_block_ids through the persistent executable cache when a
     Pallas kernel is selected (Mosaic recompiles per process; XLA programs
     already hit the persistent XLA cache on the plain jit path)."""
+    statics = _inject_variant(statics, int(args[1].shape[0]),
+                              int(args[0].shape[0]))
     if statics.get("impl") in ("pallas", "pallas_large"):
         return exec_cache.call(cd_solve_block_ids, "cd_solve_block_ids",
                                args, statics)
@@ -48,7 +65,10 @@ def _solve_ids(args, statics):
 
 def _solve_compact(args, statics):
     """cd_solve_block_compact, exec-cached for Pallas impls (see
-    :func:`_solve_ids`)."""
+    :func:`_solve_ids`).  The variant is resolved against the COMPACT
+    width (the kernel sees (B, K) blocks, not (B, npad))."""
+    statics = _inject_variant(statics, int(args[2].shape[0]),
+                              int(args[1].shape[0]))
     if statics.get("impl") in ("pallas", "pallas_large"):
         return exec_cache.call(cd_solve_block_compact,
                                "cd_solve_block_compact", args, statics)
@@ -363,8 +383,10 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
 
             if (pallas_pick_large_variant(*shape_key) == "v4"
                     and permanent(msg)):
-                # deny only the v4 variant and retry: the re-trace
-                # auto-picks v3, whose performance is known-good --
+                # deny only the v4 variant and retry: the denylist flips
+                # the dispatch-time variant resolution (_inject_variant)
+                # to v3, whose explicit static re-keys the trace cache so
+                # the retry really re-traces (not the cached v4 jaxpr) --
                 # falling all the way to XLA would cost 3-4x
                 logger.warning("v4 kernel unavailable for block shape %s "
                                "(%s); retrying on v3", shape_key,

@@ -226,3 +226,87 @@ def test_fslim_active_mask_wide_two_stage():
         expect = np.argsort(-s)[:k]
         expect = expect[np.isfinite(s[expect])]
         assert set(np.nonzero(got[b])[0]) == set(expect)
+
+
+def _v4_shape():
+    """A (B, npad) inside both the v4 and v3 kernel domains (None if the
+    predicates admit nothing small -- then the denylist test is moot)."""
+    from slim_tpu.ops.pallas_cd import (pallas_large_v3_supported,
+                                        pallas_large_v4_supported)
+
+    for B in (128, 256, 512):
+        for npad in (4096, 8192, 28672):
+            if (pallas_large_v4_supported(B, npad)
+                    and pallas_large_v3_supported(B, npad)):
+                return B, npad
+    return None
+
+
+def test_v4_compile_failure_retries_on_v3(tmp_path, monkeypatch):
+    """Round-3 advisor regression: a v4 compile failure must reach the
+    retry with ``variant='v3'`` resolved at dispatch time (an explicit jit
+    static).  Before the fix the retry hit JAX's trace cache with
+    identical statics, replayed the cached v4 jaxpr, failed again, and
+    permanently demoted the shape to the XLA kernel."""
+    from slim_tpu.ops import pallas_cd
+    from slim_tpu.solvers import cd as cd_mod
+
+    shape = _v4_shape()
+    if shape is None:
+        pytest.skip("no shape admits the v4 kernel on this build")
+    monkeypatch.setenv("SLIM_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(cd_mod, "_pallas_failed_shapes", None)
+    monkeypatch.setattr(pallas_cd, "V4_SHAPE_DENYLIST", set())
+
+    seen = []
+
+    def run(im):
+        # mirror _solve_ids/_solve_compact: the variant is resolved
+        # OUTSIDE the traced program, from the live denylist
+        statics = cd_mod._inject_variant({"impl": im}, *shape)
+        seen.append(statics.get("variant"))
+        if statics.get("variant") == "v4":
+            raise RuntimeError("Mosaic failed: exceeds scoped VMEM")
+        return "ok"
+
+    assert cd_mod._dispatch_with_fallback(run, "pallas_large", shape) == "ok"
+    assert seen == ["v4", "v3"]           # retry really flipped variants
+    assert shape in pallas_cd.V4_SHAPE_DENYLIST
+
+    # ...and the denial is persistent: a fresh process (cleared in-memory
+    # sets, same cache dir) resolves straight to v3
+    monkeypatch.setattr(cd_mod, "_pallas_failed_shapes", None)
+    monkeypatch.setattr(pallas_cd, "V4_SHAPE_DENYLIST", set())
+    seen.clear()
+    assert cd_mod._dispatch_with_fallback(run, "pallas_large", shape) == "ok"
+    assert seen == ["v3"]
+
+
+def test_inject_variant_scope():
+    """_inject_variant only touches pallas_large statics and respects an
+    explicit caller choice."""
+    from slim_tpu.solvers.cd import _inject_variant
+
+    assert "variant" not in _inject_variant({"impl": "xla"}, 128, 4096)
+    assert "variant" not in _inject_variant({"impl": "pallas"}, 128, 4096)
+    out = _inject_variant({"impl": "pallas_large"}, 128, 4096)
+    assert out.get("variant") in ("v4", "v3", "eager")
+    pinned = _inject_variant({"impl": "pallas_large", "variant": "eager"},
+                             128, 4096)
+    assert pinned["variant"] == "eager"
+
+
+def test_variant_statics_rekey_exec_cache():
+    """The resolved variant is part of the executable-cache key (it
+    replaced the global-denylist key material, which invalidated every
+    entry whenever one shape failed)."""
+    import numpy as np
+
+    from slim_tpu.ops import exec_cache
+
+    a = np.zeros((4, 4), np.float32)
+    k1 = exec_cache._make_key("e", (a,), {"impl": "pallas_large",
+                                          "variant": "v4"})
+    k2 = exec_cache._make_key("e", (a,), {"impl": "pallas_large",
+                                          "variant": "v3"})
+    assert k1 != k2
