@@ -290,7 +290,7 @@ def _get_gram_pallas(W: int, Rb: int, nblk: int, npad: int, ones: bool,
         import jax
         import jax.numpy as jnp
 
-        from .pallas_gram import densify_meta, pallas_densify
+        from .pallas_gram import gathered_densifyT
 
         out_dt = jnp.bfloat16 if bf16_exact else jnp.float32
         prec = (jax.lax.Precision.DEFAULT if bf16_exact
@@ -298,31 +298,10 @@ def _get_gram_pallas(W: int, Rb: int, nblk: int, npad: int, ones: bool,
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def gram_pallas(G, idx, val, rowstart, rowlen):
-            wio = jax.lax.broadcasted_iota(jnp.int32, (W, Rb), 0)
-
             def body(g, xs):
                 rs, rl = xs                         # (Rb,) int32 each
-                e = rs[None, :] + wio               # (W, Rb) entry index
-                valid = wio < rl[None, :]
-                idsT = jnp.where(
-                    valid, jnp.take(idx, e, mode="clip").astype(jnp.int32),
-                    npad)
-                # per-row ascending ids tighten the kernel's chunk column
-                # ranges (the skip machinery): the solver's frequency
-                # relabeling leaves rows unsorted, and sentinels sort to
-                # the tail, preserving the validity layout
-                if ones:
-                    idsT = jnp.sort(idsT, axis=0)
-                    valsT = None
-                else:
-                    ordw = jnp.argsort(idsT, axis=0)
-                    idsT = jnp.take_along_axis(idsT, ordw, axis=0)
-                    valsT = jnp.take_along_axis(
-                        jnp.where(valid, jnp.take(val, e, mode="clip"),
-                                  0.0), ordw, axis=0)
-                wmax, cmin, cmax = densify_meta(idsT, npad)
-                blkT = pallas_densify(idsT, valsT, wmax, cmin, cmax, npad,
-                                      out_dtype=out_dt, interpret=interpret)
+                blkT = gathered_densifyT(idx, val, rs, rl, W, npad, ones,
+                                         out_dt, interpret=interpret)
                 return g + jnp.dot(blkT, blkT.T,
                                    preferred_element_type=jnp.float32,
                                    precision=prec), None

@@ -163,6 +163,42 @@ def densify_meta(idsT, npad):
     return wmax, cmin.astype(jnp.int32), cmax.astype(jnp.int32)
 
 
+def gathered_densifyT(idx, val, rs, rl, W, npad, ones, out_dt,
+                      n_valid=None, interpret=False):
+    """Gather one row block's transposed padded-id layout from a flat CSR
+    index array and densify it (the shared sequence of the Gram builder
+    and the dense predict scan).
+
+    idx (nnz,) uint16/int32 flat CSR column ids; val (nnz,) f32 (ignored
+    when ``ones``); rs/rl (R,) int32 row starts/lengths.  Ids are sorted
+    ascending per row ON DEVICE so the kernel's chunk-skip ranges are
+    tight regardless of input order (the solver's frequency relabeling
+    unsorts rows).  ``n_valid``: ids >= n_valid are dropped (the
+    reference's ``id < ncols`` guard, predict.c:35).  Returns the
+    (npad, R) dense transposed block in ``out_dt``.
+    """
+    W_, R = int(W), rs.shape[0]
+    wio = jax.lax.broadcasted_iota(jnp.int32, (W_, R), 0)
+    e = rs[None, :] + wio
+    valid = wio < rl[None, :]
+    ids32 = jnp.take(idx, e, mode="clip").astype(jnp.int32)
+    if n_valid is not None:
+        valid = valid & (ids32 < n_valid)
+    idsT = jnp.where(valid, ids32, npad)
+    if ones:
+        idsT = jnp.sort(idsT, axis=0)
+        valsT = None
+    else:
+        ordw = jnp.argsort(idsT, axis=0)
+        idsT = jnp.take_along_axis(idsT, ordw, axis=0)
+        valsT = jnp.take_along_axis(
+            jnp.where(valid, jnp.take(val, e, mode="clip"), 0.0),
+            ordw, axis=0)
+    wmax, cmin, cmax = densify_meta(idsT, npad)
+    return pallas_densify(idsT, valsT, wmax, cmin, cmax, npad,
+                          out_dtype=out_dt, interpret=interpret)
+
+
 def densify_supported(W: int, R: int, npad: int) -> bool:
     """Shape domain: divisibility plus a VMEM bound (ids block double-
     buffered + accumulator + output block)."""

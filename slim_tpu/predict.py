@@ -276,10 +276,146 @@ def _get_predict_scan(npad, ub, nblocks, P, nrcmds, nnz, n, prec):
     return fn
 
 
+_predict_densify_fns: dict = {}
+
+
+def _get_predict_densify(W, ub, nblk, npad, nrcmds, n, prec, ones,
+                         interpret=False):
+    """Jitted dense-predict scan with Pallas history densification: the
+    XLA scatters of :func:`_get_predict_scan` (history + mask, the same
+    ~6.6M-updates/s lowering the Gram builder escaped) become one or two
+    passes of ops/pallas_gram's compare-select kernel."""
+    key = (W, ub, nblk, npad, nrcmds, n, str(prec), ones, interpret)
+    fn = _predict_densify_fns.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.pallas_gram import gathered_densifyT
+
+        # DEFAULT-precision scoring rounds the operands to bf16 on the
+        # MXU anyway, so the densified block can carry bf16 directly;
+        # HIGHEST keeps exact f32 (small-catalogue parity regime)
+        out_dt = (jnp.float32 if prec == jax.lax.Precision.HIGHEST
+                  else jnp.bfloat16)
+
+        @jax.jit
+        def run(Wd, idx, val, rowstart, rowlen):
+            def body(_, xs):
+                rs, rl = xs
+                hdT = gathered_densifyT(idx, val, rs, rl, W, npad, ones,
+                                        out_dt, n_valid=n,
+                                        interpret=interpret)
+                if ones:
+                    maskT = hdT > 0
+                else:
+                    maskT = gathered_densifyT(
+                        idx, val, rs, rl, W, npad, True, jnp.bfloat16,
+                        n_valid=n, interpret=interpret) > 0
+                scores = jax.lax.dot_general(
+                    hdT.astype(jnp.float32), Wd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                        # (ub, npad)
+                scores = jnp.where(maskT.T, NEG_INF, scores)
+                ncand = jnp.sum(scores > 0, axis=1)
+                top_sc, top_id = jax.lax.top_k(scores, nrcmds)
+                counts = jnp.minimum(ncand, nrcmds).astype(jnp.int32)
+                return None, _pack_topn(top_id, top_sc, counts, nrcmds)
+
+            _, outs = jax.lax.scan(body, None, (rowstart, rowlen))
+            return outs.reshape(nblk * ub, 2 * nrcmds + 1)
+
+        fn = _predict_densify_fns[key] = run
+    return fn
+
+
+PREDICT_DENSIFY_WCAP = 4096  # longest history the densify scan takes
+
+
+def _predict_topn_scan_pallas(hist, nrcmds, ub, W, n, npad, prec,
+                              interpret=False):
+    """Dense predict scan with Pallas densification.
+
+    Users are processed in history-length-sorted order (results are
+    inverse-permuted on the host) so each block's entry width Wb is the
+    pow2 of its longest history -- the same (W, block) grouping as
+    ops/gram.gram_device_pallas.  Raises NotImplementedError when the
+    shape is outside the kernel domain (caller falls back to the XLA
+    scatter scan)."""
+    import jax.numpy as jnp
+
+    from .ops.pallas_gram import RT, densify_supported
+
+    nusers = hist.nrows
+    row_nnz = hist.row_nnz().astype(np.int64)
+    order = np.argsort(-row_nnz, kind="stable")
+    snnz = row_nnz[order]
+    if ub % RT or npad < 128:
+        raise NotImplementedError("block not tileable")
+
+    groups: dict = {}
+    cur = 0
+    while cur < nusers:
+        w = max(32, 1 << int(snnz[cur] - 1).bit_length()) if snnz[cur] \
+            else 32
+        if w > PREDICT_DENSIFY_WCAP or not densify_supported(w, RT, npad):
+            raise NotImplementedError(f"history width {w} out of domain")
+        take = min(ub, nusers - cur)
+        rows = order[cur:cur + take]
+        rs = np.zeros(ub, np.int32)
+        rl = np.zeros(ub, np.int32)
+        rs[:take] = hist.indptr[rows].astype(np.int32)
+        rl[:take] = row_nnz[rows].astype(np.int32)
+        groups.setdefault(w, ([], []))
+        groups[w][0].append(rs)
+        groups[w][1].append(rl)
+        cur += take
+
+    ones = hist.data is None
+    idx_d = jnp.asarray(hist.indices.astype(
+        np.uint16 if max(n, npad) < 65536 else np.int32))
+    val_d = jnp.zeros((1,), jnp.float32) if ones \
+        else jnp.asarray(hist.values().astype(np.float32))
+
+    parts = []
+    for w, (rss, rls) in groups.items():
+        fn = _get_predict_densify(w, ub, len(rss), npad, nrcmds, n, prec,
+                                  ones, interpret=interpret)
+        parts.append(fn(W, idx_d, val_d, jnp.asarray(np.stack(rss)),
+                        jnp.asarray(np.stack(rls))))
+    packed = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    sorted_host = np.asarray(packed)[:nusers]
+    ids_s, sc_s, cnt_s = _unpack_topn(sorted_host, nrcmds)
+    ids = np.empty_like(ids_s)
+    sc = np.empty_like(sc_s)
+    cnt = np.empty_like(cnt_s)
+    ids[order] = ids_s
+    sc[order] = sc_s
+    cnt[order] = cnt_s
+    return ids, sc, cnt
+
+
 def _predict_topn_scan(hist, nrcmds, user_block, W, n, npad, prec):
     """Dense-W predict over all users in one device dispatch (see
-    :func:`_get_predict_scan`)."""
+    :func:`_get_predict_scan`).  On TPU the history densification runs
+    through the Pallas kernel (:func:`_predict_topn_scan_pallas`) unless
+    SLIM_PREDICT_DENSIFY=scatter or the shape is out of domain."""
     import jax.numpy as jnp
+
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    if on_tpu and os.environ.get("SLIM_PREDICT_DENSIFY",
+                                 "pallas") != "scatter":
+        try:
+            return _predict_topn_scan_pallas(hist, nrcmds, user_block, W,
+                                             n, npad, prec)
+        except NotImplementedError:
+            pass
+        except Exception as e:
+            import logging
+
+            logging.getLogger("slim_tpu").warning(
+                "pallas predict densify unavailable (%s); falling back "
+                "to the scatter scan", str(e).splitlines()[0][:120])
 
     nusers = hist.nrows
     nblocks = max((nusers + user_block - 1) // user_block, 1)

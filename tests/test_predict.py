@@ -439,3 +439,51 @@ def test_sparse_model_bf16_values(rng, monkeypatch):
         k = int(fc[u])
         same = set(fi[u][:k]) & set(bi[u][:k])
         assert len(same) >= k - 1
+
+
+def test_predict_densify_scan_parity(rng):
+    """The Pallas-densified dense scan (interpret mode) must reproduce the
+    XLA scatter scan: same scores, ids, counts -- including the history-
+    length sort + inverse permutation and the c < n guard."""
+    import jax
+    import jax.numpy as jnp
+
+    from slim_tpu.predict import (_bucket, _predict_topn_scan,
+                                  _predict_topn_scan_pallas, densify_model)
+    from slim_tpu.solvers.cd import estimate_model_cd
+    from slim_tpu.config import SlimConfig
+
+    train = random_csr(rng, 600, 90, density=0.08, implicit=False)
+    model, _ = estimate_model_cd(train, SlimConfig(l1r=0.3, l2r=0.5))
+    n = 90
+    npad = _bucket(n)
+    W = densify_model(model, npad)
+    prec = jax.lax.Precision.HIGHEST
+    ref = _predict_topn_scan(train, 10, 256, W, n, npad, prec)
+    got = _predict_topn_scan_pallas(train, 10, 256, W, n, npad, prec,
+                                    interpret=True)
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got[2], ref[2])
+    # distinct random scores => identical rankings
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_predict_densify_scan_parity_binary(rng):
+    import jax
+
+    from slim_tpu.predict import (_bucket, _predict_topn_scan,
+                                  _predict_topn_scan_pallas, densify_model)
+    from slim_tpu.solvers.cd import estimate_model_cd
+    from slim_tpu.config import SlimConfig
+
+    train = random_csr(rng, 500, 70, density=0.1, implicit=True)
+    model, _ = estimate_model_cd(train, SlimConfig(l1r=0.2, l2r=0.5))
+    n = 70
+    npad = _bucket(n)
+    W = densify_model(model, npad)
+    prec = jax.lax.Precision.HIGHEST
+    ref = _predict_topn_scan(train, 5, 256, W, n, npad, prec)
+    got = _predict_topn_scan_pallas(train, 5, 256, W, n, npad, prec,
+                                    interpret=True)
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-6)
