@@ -62,7 +62,8 @@ def _source_digest() -> str:
     if _src_digest_cache is None:
         h = hashlib.sha256()
         here = os.path.dirname(os.path.abspath(__file__))
-        for fname in ("pallas_cd.py", "cd_kernel.py"):
+        for fname in ("pallas_cd.py", "cd_kernel.py", "pallas_pack.py",
+                      "pallas_gram.py"):
             try:
                 with open(os.path.join(here, fname), "rb") as fh:
                     h.update(fh.read())

@@ -673,6 +673,30 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
     from ..ops.cd_kernel import count_over, pack_flat
 
+    _pack_broken = []
+
+    def run_pack(x_dev, off_d, Tpad, idx16):
+        """Flat-pack dispatch: the Pallas ragged-compaction kernel on TPU
+        (hardware: 0.060s vs the XLA scatter's 0.376s per (1024, 28672)
+        block -- ~10s of an ML-20M learn), pack_flat elsewhere or on any
+        failure.  SLIM_PACK=scatter forces the old path."""
+        B_, K_ = x_dev.shape
+        if on_tpu and not _pack_broken \
+                and os.environ.get("SLIM_PACK", "pallas") != "scatter":
+            from ..ops.pallas_pack import pack_supported, pallas_pack
+
+            if pack_supported(B_, K_, Tpad):
+                try:
+                    return exec_cache.call(
+                        pallas_pack, "pallas_pack", (x_dev, off_d),
+                        dict(eps=EPSILON, Tpad=Tpad, idx16=idx16))
+                except Exception as e:
+                    logger.warning(
+                        "pallas pack unavailable (%s); using the XLA "
+                        "scatter pack", str(e).splitlines()[0][:120])
+                    _pack_broken.append(True)
+        return pack_flat(x_dev, EPSILON, off_d, Tpad, idx16)
+
     restored = {}
     total_err = total_obj = 0.0
     total_niters = 0
@@ -759,7 +783,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 idx16 = int(out[0].shape[1]) <= 65536
                 off_d = jnp.asarray(off) if dev is None \
                     else jax.device_put(off, dev)
-                fv, fi = pack_flat(out[0], EPSILON, off_d, Tpad, idx16)
+                fv, fi = run_pack(out[0], off_d, Tpad, idx16)
                 by_T.setdefault((Tpad, idx16), []).append(
                     (k, blk, nJ, S_h, c, T, fv, fi))
 

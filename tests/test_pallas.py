@@ -304,3 +304,40 @@ def test_pallas_large_v4_group1024_matches_xla(monkeypatch):
                                np.asarray(out_x[0]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_l[4]),
                                np.asarray(out_x[4]), rtol=1e-4)
+
+
+def test_pallas_pack_interpret_parity(rng):
+    """Ragged-compaction pack (ops/pallas_pack.py) == pack_flat: exact
+    values, ascending ids, zero tail -- over dense/sparse/empty rows and
+    straddling runs, both id dtypes."""
+    import jax.numpy as jnp
+
+    from slim_tpu.ops.cd_kernel import pack_flat
+    from slim_tpu.ops.pallas_pack import pallas_pack
+
+    for B, K, dens in [(8, 256, 0.3), (16, 384, 0.05), (8, 128, 0.9),
+                       (8, 256, 0.0)]:
+        x = np.where(rng.random((B, K)) < dens,
+                     rng.random((B, K)).astype(np.float32) + 0.5,
+                     0.0).astype(np.float32)
+        c = (x > 1e-7).sum(axis=1).astype(np.int32)
+        off = np.zeros(B, np.int32)
+        np.cumsum(c[:-1], out=off[1:])
+        T = int(c.sum())
+        Tpad = max(1 << max(T - 1, 0).bit_length(), 128)
+        xd, offd = jnp.asarray(x), jnp.asarray(off)
+        for idx16 in (True, False):
+            fv0, fi0 = pack_flat(xd, 1e-7, offd, Tpad, idx16)
+            fv1, fi1 = pallas_pack(xd, offd, 1e-7, Tpad, idx16,
+                                   interpret=True)
+            np.testing.assert_array_equal(np.asarray(fv0), np.asarray(fv1))
+            np.testing.assert_array_equal(np.asarray(fi0), np.asarray(fi1))
+
+
+def test_pallas_pack_supported_domain():
+    from slim_tpu.ops.pallas_pack import pack_supported
+
+    assert pack_supported(1024, 28672, 1 << 21)
+    assert not pack_supported(1001, 28672, 1 << 21)   # B % 8
+    assert not pack_supported(1024, 28700, 1 << 21)   # K % 128
+    assert not pack_supported(1024, 28672, 1 << 26)   # VMEM bound
