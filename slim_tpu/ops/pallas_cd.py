@@ -1370,13 +1370,25 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
                      jnp.zeros((), jnp.int32)))
 
     niters = niters_f.astype(jnp.int32)
-    q = jnp.dot(x, G, preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST)
+    if _exact_obj():
+        q = jnp.dot(x, G, preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST)
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
                    + jnp.sum(x * q, axis=1))
     obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \
         + l1v * jnp.sum(jnp.abs(x), axis=1)
     return x, niters, converged, rnorm, obj
+
+
+def _exact_obj() -> bool:
+    """SLIM_EXACT_OBJ=1 recomputes q = Gx exactly for the stats epilogue
+    (one HIGHEST-precision (B,npad)x(npad,npad) matmul per launch,
+    hardware-measured ~52 ms -- ~2.8 s of an ML-20M learn).  Default:
+    use the carried q, which the kernels maintain via exact f32 MXU
+    propagation and refresh every Q_REFRESH sweeps, so the reported
+    objective differs only at f32-drift level (~1e-7 rel; the quality
+    goldens assert at 1e-4).  The solution x is identical either way."""
+    return _os.environ.get("SLIM_EXACT_OBJ", "0") == "1"
 
 
 def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
@@ -1445,7 +1457,8 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
     x = xT.T
     niters = niters_f.astype(jnp.int32)
     q = jnp.dot(x, G, preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=jax.lax.Precision.HIGHEST) if _exact_obj() \
+        else qT.T
     rnorm = 0.5 * (yty - 2.0 * jnp.sum(x * gj, axis=1)
                    + jnp.sum(x * q, axis=1))
     obj = rnorm + 0.5 * l2v * jnp.sum(x * x, axis=1) \

@@ -81,7 +81,7 @@ def _get_sharded_gram_sparse(mesh: Mesh, rb: int, npad: int):
     blocks from padded triplets and accumulates partial Grams on its MXU;
     one psum over the whole grid replicates the full G.  The dense rating
     matrix is never materialized anywhere (round-1 weakness #3)."""
-    key = (id(mesh), rb, npad)
+    key = (mesh, rb, npad)
     fn = _sharded_gram_sparse_fns.get(key)
     if fn is None:
         def gram(lr, cols, vals):
@@ -251,7 +251,7 @@ def _get_screen_flags(mesh: Mesh, rb: int, npad: int, chunk: int,
     and ``chunk`` bounds it (SLIM_SCREEN_BYTES) independently of the
     superblock width -- for FSLIM too, which previously required a
     full-width (npad, Bsup) ATY."""
-    key = (id(mesh), rb, npad, chunk, l1r, fslim_nnbrs, simtype)
+    key = (mesh, rb, npad, chunk, l1r, fslim_nnbrs, simtype)
     fn = _screen_flags_fns.get(key)
     if fn is None:
         from ..ops.cd_kernel import fslim_active_mask
@@ -331,7 +331,7 @@ def _get_blockwise_fns(mesh: Mesh, rb: int, npad: int, Bsup: int, K: int,
         columns sharded over the flattened grid; every device runs the
         batched CD core against the replicated compact Gram.
     """
-    key = (id(mesh), rb, npad, Bsup, K, l1r, l2r, optTol, shuffle,
+    key = (mesh, rb, npad, Bsup, K, l1r, l2r, optTol, shuffle,
            fslim_nnbrs, simtype)
     fns = _blockwise_fns.get(key)
     if fns is not None:
@@ -728,7 +728,7 @@ def _get_gram_colblock(mesh: Mesh, rb: int, W_tot: int, width: int):
     one buffer, nothing replicated).  Called once per device column
     block at setup (total FLOPs = one full Gram, split over the grid);
     the caller reassembles COLUMN shards from the tiles by symmetry."""
-    key = (id(mesh), rb, W_tot, width)
+    key = (mesh, rb, W_tot, width)
     fn = _gram_colblock_fns.get(key)
     if fn is None:
         def gramb(lr, cc, vv, c0):
@@ -766,7 +766,7 @@ def _get_g_screen(mesh: Mesh, W_tot: int, width: int, chunk: int,
     of the resident column-sharded G: the owner of each target column
     tests G[:, j] > l1r locally; an integer psum ORs the per-device
     flags."""
-    key = (id(mesh), W_tot, width, chunk, l1r)
+    key = (mesh, W_tot, width, chunk, l1r)
     fn = _g_screen_fns.get(key)
     if fn is None:
         fidx = _flat_index(mesh)
@@ -796,7 +796,7 @@ def _get_g_gather(mesh: Mesh, W_tot: int, width: int, K: int):
     each device contributes the columns of S it owns (rows gathered
     first, so the peak intermediate is (K, width)); the psum assembles
     the replicated (K, K)."""
-    key = (id(mesh), W_tot, width, K)
+    key = (mesh, W_tot, width, K)
     fn = _g_gather_fns.get(key)
     if fn is None:
         fidx = _flat_index(mesh)
@@ -874,10 +874,16 @@ def distributed_learn_sharded_g(train: CSR, cfg, mesh: Mesh,
     gramb_fn = _get_gram_colblock(mesh, row_block, W_tot, width)
     devs = list(mesh.devices.flat)
     tiles = [[None] * ndev for _ in range(ndev)]      # tiles[d][e]
+    dev_pos = {d: i for i, d in enumerate(devs)}
     for e in range(ndev):
         ge = gramb_fn(lr_d, cc_d, vv_d, np.int32(e * width))
         for s in ge.addressable_shards:
-            tiles[s.index[0].start // width][e] = s.data
+            # row block d lives on flat-mesh device d by construction
+            # (out_specs P(('dp','mp'), None)); derive the tile index
+            # from the shard's device, not s.index -- jax reports a
+            # replicated-looking index (start=None) in some
+            # multi-platform environments
+            tiles[dev_pos[s.device]][e] = s.data
     # each process assembles only the column shards of ITS devices (tile
     # d lives on device d, which this process fills for every e); on a
     # multi-controller mesh the remote tiles are simply not addressable
