@@ -159,16 +159,18 @@ NATIVE_PREDICT_NPAD = 4096
 # Above NATIVE_PREDICT_NPAD the winner is decided by per-user WORK, not
 # catalogue size: the native loop costs O(h*r) per user (h = history nnz,
 # r = model row nnz) while every device path writes/score-reduces O(npad)
-# per user.  Round-3 hardware capture (TPU v5e vs the 4-core native
-# baseline, docs/RESULTS.md serving table):
-#   h*r/npad ~ 6.2 (ml20m, r=1263)   -> device wins 1.37x
-#   h*r/npad ~ 0.026 (27k, r=27)     -> native wins 17x
-#   h*r/npad ~ 0.003 (262k, r=27)    -> native wins 223x
-# Log-log interpolation puts the break-even near h*r = 4*npad; unpinned
-# calls with less estimated work than that route to the native kernel.
-# Override the coefficient with SLIM_PREDICT_NATIVE_ALPHA (0 restores the
-# pure-npad rule).
-NATIVE_PREDICT_ALPHA = 4.0
+# per user.  Round-4 refit (the Pallas history densify made the dense
+# scan ~2.8x faster, moving the crossover): at 27k items the device
+# serves a flat ~57-59k users/s across model densities while the native
+# loop sustains ~1.07e9 score-ops/s --
+#   h*r/npad ~ 0.08 (r=98)   -> native wins 8.6x
+#   h*r/npad ~ 0.13 (r=166)  -> native wins 5.0x
+#   h*r/npad ~ 0.23 (r=284)  -> native wins 2.4x
+#   h*r/npad ~ 6.3 (ml20m)   -> device wins 5.5x
+# which puts break-even at h*r ~ 0.63*npad; 0.75 keeps a margin for the
+# shorter-batch regimes where the scan's fixed costs bite.  Override with
+# SLIM_PREDICT_NATIVE_ALPHA (0 restores the pure-npad rule).
+NATIVE_PREDICT_ALPHA = 0.75
 
 
 def native_predict_applicable(n: int, model: CSR | None = None,
