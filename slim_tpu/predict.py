@@ -349,6 +349,9 @@ def _predict_topn_scan_pallas(hist, nrcmds, ub, W, n, npad, prec,
     from .ops.pallas_gram import RT, densify_supported
 
     nusers = hist.nrows
+    if nusers == 0:
+        return (np.full((0, nrcmds), -1, np.int32),
+                np.zeros((0, nrcmds), np.float32), np.zeros(0, np.int32))
     row_nnz = hist.row_nnz().astype(np.int64)
     order = np.argsort(-row_nnz, kind="stable")
     snnz = row_nnz[order]
