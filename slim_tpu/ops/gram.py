@@ -386,8 +386,20 @@ def gram_device_pallas(mat: CSR, pad_to: int | None = None,
     for (w, rb), (rss, rls) in groups.items():
         fn = _get_gram_pallas(w, rb, len(rss), n, ones, bf16_exact,
                               interpret=interpret)
-        G = fn(G, idx_d, val_d, jnp.asarray(np.stack(rss)),
-               jnp.asarray(np.stack(rls)))
+        args = (G, idx_d, val_d, jnp.asarray(np.stack(rss)),
+                jnp.asarray(np.stack(rls)))
+        if interpret:
+            G = fn(*args)
+        else:
+            # persistent-executable cache (Mosaic recompiles per process;
+            # skewed datasets hit several W buckets).  W/ones/bf16 are
+            # baked into the closure, not the arg shapes, so they must
+            # key through the entry name.
+            from . import exec_cache
+
+            G = exec_cache.call(
+                fn, f"gram_pallas_w{w}_o{int(ones)}_b{int(bf16_exact)}",
+                args, {})
 
     if nlong:
         # residual: the few very long rows via the scatter path

@@ -386,8 +386,18 @@ def _predict_topn_scan_pallas(hist, nrcmds, ub, W, n, npad, prec,
     for w, (rss, rls) in groups.items():
         fn = _get_predict_densify(w, ub, len(rss), npad, nrcmds, n, prec,
                                   ones, interpret=interpret)
-        parts.append(fn(W, idx_d, val_d, jnp.asarray(np.stack(rss)),
-                        jnp.asarray(np.stack(rls))))
+        args = (W, idx_d, val_d, jnp.asarray(np.stack(rss)),
+                jnp.asarray(np.stack(rls)))
+        if interpret:
+            parts.append(fn(*args))
+        else:
+            # Mosaic recompiles per process: persist each W bucket's
+            # compiled scan (closure statics key through the entry name)
+            from .ops import exec_cache
+
+            parts.append(exec_cache.call(
+                fn, f"predict_densify_w{w}_n{n}_r{nrcmds}_p{prec}"
+                    f"_o{int(ones)}", args, {}))
     packed = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     sorted_host = np.asarray(packed)[:nusers]
     ids_s, sc_s, cnt_s = _unpack_topn(sorted_host, nrcmds)
