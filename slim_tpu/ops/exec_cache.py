@@ -100,7 +100,8 @@ _KNOB_ENVS = (
     # executable from disk
     "SLIM_PALLAS_V3", "SLIM_PALLAS_V4", "SLIM_PALLAS_KFLUSH",
     "SLIM_PALLAS_PANEL", "SLIM_PALLAS_GROUP", "SLIM_PALLAS_V4_GROUP",
-    "SLIM_PALLAS_MAXB", "SLIM_PALLAS_QREFRESH", "SLIM_EXACT_OBJ")
+    "SLIM_PALLAS_MAXB", "SLIM_PALLAS_QREFRESH", "SLIM_EXACT_OBJ",
+    "SLIM_GRAM_INT8")
 
 
 def _knob_sig() -> str:
