@@ -593,7 +593,54 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         caps[:nJ] = caps_p[r0:r0 + nJ]
         return r0, nJ, Jpad, caps
 
+    # warm starts: the naive form builds each block's (B, npad) dense x0
+    # on the host (a python loop over columns) and uploads ~117MB per
+    # ML-20M block through the tunnel -- measured to dominate warm-started
+    # mselect points (79-245 s/point).  On TPU the previous model ships
+    # ONCE as flat CSC indices+values and each block's x0 densifies on
+    # device through the Pallas kernel.
+    _warm_dev = None
+    if use_warm and on_tpu and B % 256 == 0 \
+            and imodel_csc.nnz < (1 << 31) \
+            and os.environ.get("SLIM_WARM_DENSIFY", "1") != "0":
+        from ..ops.pallas_gram import densify_supported
+
+        _wm_nnz_col = np.diff(imodel_csc.indptr).astype(np.int64)
+        _wm_wmax = int(_wm_nnz_col.max()) if _wm_nnz_col.size else 0
+        _wm_W = max(32, 1 << max(_wm_wmax - 1, 0).bit_length())
+        if densify_supported(_wm_W, 256, npad):
+            _warm_dev = (
+                jnp.asarray(posmap[imodel_csc.indices].astype(
+                    np.uint16 if npad <= 65536 else np.int32)),
+                jnp.asarray(imodel_csc.values().astype(np.float32)))
+
+    _warm_fns = {}
+
+    def _warm_densify(idxs, vals_d, rs, rl):
+        from ..ops.pallas_gram import gathered_densifyT
+
+        fn = _warm_fns.get(_wm_W)
+        if fn is None:
+            import jax as _jax
+
+            @_jax.jit
+            def warm(idx, val, rs, rl):
+                return gathered_densifyT(idx, val, rs, rl, _wm_W, npad,
+                                         False, jnp.float32).T
+
+            fn = _warm_fns[_wm_W] = warm
+        return exec_cache.call(fn, f"warm_densify_w{_wm_W}",
+                               (idxs, vals_d, rs, rl), {})
+
     def warm_x0(r0, nJ):
+        if _warm_dev is not None:
+            cols = p[r0:r0 + nJ]
+            rs = np.zeros(B, np.int32)
+            rl = np.zeros(B, np.int32)
+            rs[:nJ] = imodel_csc.indptr[cols].astype(np.int32)
+            rl[:nJ] = _wm_nnz_col[cols].astype(np.int32)
+            return _warm_densify(_warm_dev[0], _warm_dev[1],
+                                 jnp.asarray(rs), jnp.asarray(rl))
         x0_host = np.zeros((B, npad), dtype=np.float32)
         for b in range(nJ):
             j = p[r0 + b]  # original item of this rank
