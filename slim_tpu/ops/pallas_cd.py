@@ -1331,6 +1331,12 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
         return jnp.dot(x, G, preferred_element_type=F32,
                        precision=jax.lax.Precision.HIGHEST)
 
+    # per-(group, column) activity, reduced ONCE: the per-sweep group
+    # skip flags then cost one (ngroups, B) matvec against the live mask
+    # instead of an (B, npad) elementwise product every sweep (which
+    # measured as a visible slice of the sweep loop at ML-20M shape)
+    ga = act_f.reshape(B, ngroups, npad // ngroups).max(axis=2)  # (B, ng)
+
     def cond(carry):
         x, q, live, niters, conv, t = carry
         return (t < tmax) & jnp.any(live > 0)
@@ -1342,8 +1348,8 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
             perm = jax.random.permutation(tkey, ngroups).astype(jnp.int32)
         else:
             perm = jnp.arange(ngroups, dtype=jnp.int32)
-        group_any = (jnp.sum(act_f * live, axis=0)
-                     .reshape(ngroups, GROUP).sum(axis=1) > 0)
+        group_any = jnp.dot(live[:, 0], ga,
+                            preferred_element_type=F32) > 0
         if use_v3:
             # cluster active groups at the front (stable, preserving the
             # shuffled relative order) so the deferred-flush windows are
@@ -1420,6 +1426,9 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         return jnp.dot(G, xT, preferred_element_type=F32,
                        precision=jax.lax.Precision.HIGHEST)
 
+    # once-reduced per-(group, column) activity; see the v3 core comment
+    ga = act_fT.reshape(ngroups, npad // ngroups, B).max(axis=1)
+
     def cond(carry):
         xT, qT, live, niters, conv, t = carry
         return (t < tmax) & jnp.any(live > 0)
@@ -1431,8 +1440,8 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
             perm = jax.random.permutation(tkey, ngroups).astype(jnp.int32)
         else:
             perm = jnp.arange(ngroups, dtype=jnp.int32)
-        group_any = (jnp.sum(act_fT * live, axis=1)
-                     .reshape(ngroups, npad // ngroups).sum(axis=1) > 0)
+        group_any = jnp.dot(ga, live[0],
+                            preferred_element_type=F32) > 0
         # cluster active groups at the front (see the v3 comment)
         inactive = (~jnp.take(group_any, perm)).astype(jnp.int32)
         perm = jnp.take(perm, jnp.argsort(inactive, stable=True))
