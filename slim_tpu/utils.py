@@ -8,6 +8,69 @@ import os
 logger = logging.getLogger("slim_tpu")
 
 _cache_enabled = False
+_fetch_pool = None
+
+
+def _pool():
+    global _fetch_pool
+    if _fetch_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _fetch_pool = ThreadPoolExecutor(
+            max(int(os.environ.get("SLIM_FETCH_WORKERS", "2")), 1))
+    return _fetch_pool
+
+
+class _FetchHandle:
+    """Handle for an in-flight multi-array device->host fetch."""
+
+    def __init__(self, parts, narr):
+        self._parts = parts          # [(arr_idx, order, future)]
+        self._narr = narr
+
+    def done(self) -> bool:
+        return all(f.done() for _, _, f in self._parts)
+
+    def result(self):
+        import numpy as np
+
+        chunks = {}
+        for ai, order, f in self._parts:
+            chunks.setdefault(ai, []).append((order, f.result()))
+        outs = []
+        for ai in range(self._narr):
+            lst = sorted(chunks[ai], key=lambda t: t[0])
+            outs.append(lst[0][1] if len(lst) == 1
+                        else np.concatenate([c for _, c in lst]))
+        return tuple(outs)
+
+
+def submit_fetch(*arrs) -> _FetchHandle:
+    """Enqueue device->host fetches of ``arrs`` on the shared fetch pool.
+
+    Large arrays are split along axis 0 into ~SLIM_FETCH_CHUNK_MB pieces
+    fetched on concurrent streams: the tunnelled PJRT transport multiplexes
+    (measured 25 -> 42 MB/s aggregate with 2 streams), so chunked parallel
+    fetches nearly halve the harvest tail that dominates large learns.
+    ``SLIM_FETCH_WORKERS=1`` restores strictly serial fetches.
+    """
+    import numpy as np
+
+    pool = _pool()
+    nworkers = pool._max_workers
+    chunk_bytes = int(os.environ.get("SLIM_FETCH_CHUNK_MB", "16")) << 20
+    parts = []
+    for ai, a in enumerate(arrs):
+        nbytes = int(np.prod(a.shape)) * np.dtype(a.dtype).itemsize
+        rows = a.shape[0] if a.ndim else 0
+        if nworkers > 1 and nbytes > 2 * chunk_bytes and rows >= 2:
+            per = max(1, int(rows * chunk_bytes / nbytes))
+            for order, r0 in enumerate(range(0, rows, per)):
+                parts.append((ai, order,
+                              pool.submit(np.asarray, a[r0:r0 + per])))
+        else:
+            parts.append((ai, 0, pool.submit(np.asarray, a)))
+    return _FetchHandle(parts, len(arrs))
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
