@@ -567,6 +567,32 @@ def pallas_cd_sweep_large(G, gj, act_i8, x, q, live_f32, diag2d, regs,
 # correction matmuls when a later group in the window starts its GS.
 K_FLUSH = int(_os.environ.get("SLIM_PALLAS_KFLUSH", "4"))
 
+# v4 inner-loop sub-block width: the per-coordinate Gauss-Seidel rank-1
+# propagation touches only an (SS, B) sub-block of the chunk; each
+# sub-block's accumulated deltas then propagate to the whole chunk in
+# one (CHUNK, SS) x (SS, B) MXU matmul.  Cuts the serial VPU work of
+# the GS chain ~CHUNK/SS-fold (the chain is the compute-side cost of a
+# sweep once the HBM stream is saturated).  0 disables (full-chunk
+# rank-1 updates, the pre-round-4 behaviour).
+SS_BLOCK = int(_os.environ.get("SLIM_PALLAS_SS", "32"))
+
+# A/B knob: run the v4 kernel's q-propagation matmuls at HIGHEST MXU
+# precision (f32-exact inputs) instead of Mosaic's bf16-input default,
+# which makes the carried q f32-exact and the periodic q = Gx refresh
+# (Q_REFRESH, ~1.7 ms/sweep amortized at ML-20M) unnecessary.
+# Hardware-measured at (512, 28672): 40.4 ms/sweep vs 9.7 -- the extra
+# MXU passes do NOT hide under the flush DMA stream; default stays off
+# (bf16 propagation + periodic exact refresh is the right trade).
+_HIPREC = _os.environ.get("SLIM_PALLAS_HIPREC", "0") == "1"
+_DOT_PREC = None  # resolved lazily (jax import order)
+
+
+def _dot_prec():
+    global _DOT_PREC
+    if _HIPREC and _DOT_PREC is None:
+        _DOT_PREC = jax.lax.Precision.HIGHEST
+    return _DOT_PREC
+
 
 def _sweep_kernel_large_v3(ngroups: int, npanels: int, B: int, npad: int,
                            K: int,
@@ -964,34 +990,54 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                 cp.start()
                 cp.wait()
                 qg_scr[...] += jnp.dot(gcor_scr[k % 2], dxk_scr[k],
-                                       preferred_element_type=F32)
+                                       preferred_element_type=F32,
+                                       precision=_dot_prec())
 
+        ss = SS_BLOCK if SS_BLOCK > 0 and CHUNK % max(SS_BLOCK, 1) == 0 \
+            else CHUNK
         for sub in range(group // CHUNK):
             o = sub * CHUNK
             xloc = xg_scr[pl.ds(o, CHUNK), :]         # (CHUNK, B) value
             ql = qg_scr[pl.ds(o, CHUNK), :]
             gcc = ggg[o:o + CHUNK, o:o + CHUNK]
-            deltas = []
-            for ci in range(CHUNK):
-                gcol = gjloc[o + ci:o + ci + 1, :]    # (1, B) row slices
-                qcol = ql[ci:ci + 1, :]
-                xcol = xloc[ci:ci + 1, :]
-                ok = okf[o + ci:o + ci + 1, :]
-                di = dloc[0, o + ci]
-                num = gcol - qcol + di * xcol
-                cand = jnp.maximum(num - l1, 0.0) / (di + l2)
-                delta = ok * (cand - xcol)
-                # gcc column == row transposed (diagonal block symmetric)
-                ql = ql + gcc[:, ci:ci + 1] * delta   # (CHUNK,1)*(1,B)
-                deltas.append(delta)
-            dx = jnp.concatenate(deltas, axis=0)      # (CHUNK, B)
+            dx_parts = []
+            for s0 in range(0, CHUNK, ss):
+                # GS chain: rank-1 propagation confined to this (ss, B)
+                # sub-block; qs already carries every earlier sub-block's
+                # deltas via the chunk-wide MXU update below
+                qs = ql[s0:s0 + ss, :]
+                deltas = []
+                for ci in range(ss):
+                    i = s0 + ci
+                    gcol = gjloc[o + i:o + i + 1, :]  # (1, B) row slices
+                    qcol = qs[ci:ci + 1, :]
+                    xcol = xloc[i:i + 1, :]
+                    ok = okf[o + i:o + i + 1, :]
+                    di = dloc[0, o + i]
+                    num = gcol - qcol + di * xcol
+                    cand = jnp.maximum(num - l1, 0.0) / (di + l2)
+                    delta = ok * (cand - xcol)
+                    # gcc column == row transposed (diag block symmetric)
+                    qs = qs + gcc[s0:s0 + ss, i:i + 1] * delta
+                    deltas.append(delta)
+                dxs = jnp.concatenate(deltas, axis=0)  # (ss, B)
+                dx_parts.append(dxs)
+                if ss < CHUNK:
+                    # propagate to the rest of the chunk (rows already
+                    # processed never re-read ql; same terms reassociated)
+                    ql = ql + jnp.dot(gcc[:, s0:s0 + ss], dxs,
+                                      preferred_element_type=F32,
+                                      precision=_dot_prec())
+            dx = dx_parts[0] if len(dx_parts) == 1 \
+                else jnp.concatenate(dx_parts, axis=0)  # (CHUNK, B)
             for k in range(K):
                 @pl.when(slot_in_win == k)
                 def _(k=k):
                     dxk_scr[k, pl.ds(o, CHUNK), :] = dx
             xg_scr[pl.ds(o, CHUNK), :] = xloc + dx
             qg_scr[...] += jnp.dot(ggg[:, o:o + CHUNK], dx,
-                                   preferred_element_type=F32)
+                                   preferred_element_type=F32,
+                                   precision=_dot_prec())
 
         cp_xo = pltpu.make_async_copy(
             xg_scr, x_hbm.at[pl.ds(base, group), :], sems.at[0])
@@ -1048,7 +1094,8 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                     def _():
                         start_g(pb + 1, 0, (k + 1) % 2)
                 qpan_scr[qslot] += jnp.dot(gpan_scr[k % 2], dxk_scr[k],
-                                           preferred_element_type=F32)
+                                           preferred_element_type=F32,
+                                           precision=_dot_prec())
             cp_out = pltpu.make_async_copy(
                 qpan_scr.at[qslot], q_hbm.at[pl.ds(off, PANEL), :],
                 sems.at[4 + qslot])
@@ -1449,7 +1496,10 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         regsT = jnp.stack(
             [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
              jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=0)
-        qT = jax.lax.cond((t % Q_REFRESH == 0) & (t > 0),
+        # with HIPREC propagation the carried q is f32-exact and the
+        # periodic refresh is pure overhead
+        _qref = (1 << 30) if _HIPREC else Q_REFRESH
+        qT = jax.lax.cond((t % _qref == 0) & (t > 0),
                           exact_qT, lambda _x: qT, xT)
         xn, qn, liven, nit_d, dl = pallas_cd_sweep_large_v4(
             G, gjT, act_i8T, xT, qT, live, diag2d, regsT, perm, has,
