@@ -449,6 +449,15 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         return model, {"loss": 0.0, "fit": 0.0, "ffrac": 0.0, "nnz": 0,
                        "niters": 0}
 
+    # single-device fresh-Gram path: dispatch the Gram in ORIGINAL item
+    # space immediately (upload + densify + contraction run async on
+    # device) so it overlaps the host-side colcounts/relabel below; the
+    # frequency permutation is then two exact device gathers (~20 ms at
+    # ML-20M) instead of a host relabel on the Gram's critical path.
+    g_raw = None
+    if g_replicas is None and gram is None:
+        g_raw = compute_gram(train, cfg.gram, pad_to=npad)
+
     nnz_col = train.col_nnz()
     col_caps = np.minimum(50 * nnz_col, cfg.maxniters).astype(np.int32)
     _mark("colcounts")
@@ -477,17 +486,16 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             p_d = _jax.device_put(p_pad, dev)
             g_all.append(jnp.take(jnp.take(g_r, p_d, axis=0), p_d, axis=1))
         g_dev = g_all[0]
-    elif gram is not None:
-        # shared Gram (mselect) arrives in original item space: permute
-        # rows+cols on device (two gathers), keeping the zero padding
+    elif gram is not None or g_raw is not None:
+        # Gram in original item space (shared mselect Gram, or the
+        # fresh async-dispatched one above): permute rows+cols on device
+        # (two gathers), keeping the zero padding
+        _mark("relabel")
         p_pad = np.concatenate([p, np.arange(n, npad, dtype=np.int32)])
         p_dev = jnp.asarray(p_pad)
-        g_dev = jnp.take(jnp.take(gram, p_dev, axis=0), p_dev, axis=1)
-    else:
-        train_p = CSR.from_arrays(train.nrows, n, train.indptr,
-                                  posmap[train.indices], train.data)
-        _mark("relabel")
-        g_dev = compute_gram(train_p, cfg.gram, pad_to=npad)
+        g_src = gram if gram is not None else g_raw
+        g_dev = jnp.take(jnp.take(g_src, p_dev, axis=0), p_dev, axis=1)
+        g_raw = None  # drop the unpermuted copy (donation frees its HBM)
 
     caps_p = col_caps[p]
     _mark("gram+setup")
