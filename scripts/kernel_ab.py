@@ -88,9 +88,18 @@ ngroups = npad // pc.GROUP
 perm = jnp.arange(ngroups, dtype=jnp.int32)
 has = jnp.ones((ngroups,), jnp.int32)
 
+if V4:
+    Gq = G.astype(jnp.bfloat16) \
+        if os.environ.get("SLIM_PALLAS_GBF16", "1") != "0" else G
+    sweep_args = lambda xx, qq: (G, Gq, gj, act_i8, xx, qq, live, diag2d,
+                                 regs, perm, has)
+else:
+    sweep_args = lambda xx, qq: (G, gj, act_i8, xx, qq, live, diag2d,
+                                 regs, perm, has)
+
 t0 = time.perf_counter()
 try:
-    r = sweep(G, gj, act_i8, x, q, live, diag2d, regs, perm, has)
+    r = sweep(*sweep_args(x, q))
     jax.block_until_ready(r)
 except Exception as e:
     out["error"] = str(e).splitlines()[0][:200]
@@ -101,8 +110,7 @@ out["compile_s"] = round(time.perf_counter() - t0, 2)
 def run_sweeps(ns):
     xx, qq = x, q
     for s in range(ns):
-        xx, qq, live2, nit, dl = sweep(
-            G, gj, act_i8, xx, qq, live, diag2d, regs, perm, has)
+        xx, qq, live2, nit, dl = sweep(*sweep_args(xx, qq))
     # force real completion: device reduce + scalar fetch (axon's
     # block_until_ready returns at remote enqueue, not completion)
     return float(jnp.sum(xx)) + float(jnp.sum(qq))

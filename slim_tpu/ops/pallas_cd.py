@@ -914,7 +914,7 @@ def pallas_large_v3_supported(B: int, npad: int) -> bool:
 
 
 def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
-                           K: int, group: int,
+                           K: int, group: int, gbf: bool,
                            # scalar-prefetch refs
                            perm_ref, has_ref,
                            # pipelined per-group blocks
@@ -935,7 +935,13 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
     """Transposed :func:`_sweep_kernel_large_v3` (same math, same window
     invariant).  All equations use G's symmetry: a v3 product
     ``dx (B,group) . G[win, p] (group, PANEL)`` becomes
-    ``G[p, win] (PANEL, group) . dx (group, B)`` on the same bytes."""
+    ``G[p, win] (PANEL, group) . dx (group, B)`` on the same bytes.
+
+    ``gbf``: g_hbm (the copy feeding ONLY the correction/flush MXU dots)
+    is bf16 -- the dominant per-sweep HBM stream (a full G read) halves,
+    while the dot inputs stay what the MXU consumed anyway (Mosaic's
+    default-precision dots take bf16 operands); the GS math itself keeps
+    the f32 G through ggg/gj/diag."""
     g = pl.program_id(0)
     l1 = regs_ref[0:1, :]
     l2 = regs_ref[1:2, :]
@@ -989,9 +995,11 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                     gcor_scr.at[k % 2], sems.at[6 + k % 2])
                 cp.start()
                 cp.wait()
-                qg_scr[...] += jnp.dot(gcor_scr[k % 2], dxk_scr[k],
-                                       preferred_element_type=F32,
-                                       precision=_dot_prec())
+                dxc = dxk_scr[k][...]
+                qg_scr[...] += jnp.dot(
+                    gcor_scr[k % 2],
+                    dxc.astype(jnp.bfloat16) if gbf else dxc,
+                    preferred_element_type=F32, precision=_dot_prec())
 
         ss = SS_BLOCK if SS_BLOCK > 0 and CHUNK % max(SS_BLOCK, 1) == 0 \
             else CHUNK
@@ -1093,9 +1101,11 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                     @pl.when(pb + 1 < npanels)
                     def _():
                         start_g(pb + 1, 0, (k + 1) % 2)
-                qpan_scr[qslot] += jnp.dot(gpan_scr[k % 2], dxk_scr[k],
-                                           preferred_element_type=F32,
-                                           precision=_dot_prec())
+                dxf = dxk_scr[k][...]
+                qpan_scr[qslot] += jnp.dot(
+                    gpan_scr[k % 2],
+                    dxf.astype(jnp.bfloat16) if gbf else dxf,
+                    preferred_element_type=F32, precision=_dot_prec())
             cp_out = pltpu.make_async_copy(
                 qpan_scr.at[qslot], q_hbm.at[pl.ds(off, PANEL), :],
                 sems.at[4 + qslot])
@@ -1138,19 +1148,24 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
+def pallas_cd_sweep_large_v4(G, Gq, gjT, actT_i8, xT, qT, live_1B, diag2d,
                              regsT, groupperm, hasgroup, interpret=False):
     """Transposed deferred-flush sweep: gjT/actT/xT/qT are (npad, B),
     live/nit/dltx are (1, B), regsT is (5, B).  Same window contract as
-    :func:`pallas_cd_sweep_large_v3`."""
+    :func:`pallas_cd_sweep_large_v3`.  ``Gq`` is the copy of G streamed
+    by the correction/flush dots -- bf16 (halving the dominant per-sweep
+    HBM read; the loop-invariant cast lives in the caller) unless
+    SLIM_PALLAS_GBF16=0 passed G itself."""
     npad, B = gjT.shape
     group = pick_group_v4(npad, B)
     ngroups = npad // group
     npanels = npad // PANEL
     K = K_FLUSH
+    gbf = Gq.dtype == jnp.bfloat16
+    gdt = jnp.bfloat16 if gbf else F32
     assert ngroups % K == 0
     kernel = functools.partial(_sweep_kernel_large_v4, ngroups, npanels,
-                               B, npad, K, group)
+                               B, npad, K, group, gbf)
 
     def group_rows(g, perm, has):
         return (perm[g], 0)
@@ -1189,8 +1204,8 @@ def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
             pltpu.VMEM((group, B), F32),              # x group tile
             pltpu.VMEM((group, B), F32),              # q group tile
             pltpu.VMEM((K, group, B), F32),           # window deltas
-            pltpu.VMEM((2, group, group), F32),       # correction G blocks
-            pltpu.VMEM((2, PANEL, group), F32),       # flush G panels
+            pltpu.VMEM((2, group, group), gdt),       # correction G blocks
+            pltpu.VMEM((2, PANEL, group), gdt),       # flush G panels
             pltpu.VMEM((2, PANEL, B), F32),           # flush q panels
             pltpu.SemaphoreType.DMA((8,)),
         ],
@@ -1208,7 +1223,7 @@ def pallas_cd_sweep_large_v4(G, gjT, actT_i8, xT, qT, live_1B, diag2d,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(groupperm, hasgroup, G, gjT, actT_i8, diag2d, G, xT, qT, live_1B,
+    )(groupperm, hasgroup, G, gjT, actT_i8, diag2d, Gq, xT, qT, live_1B,
       regsT)
     return xo, qo, lo, nit, dl
 
@@ -1218,9 +1233,11 @@ def _v4_budget_ok(B: int, npad: int, group: int) -> bool:
     supergroup size (every v4 scratch tile is the v3 tile transposed,
     so the byte budget is identical)."""
     K = K_FLUSH
+    gb = 2 if _os.environ.get("SLIM_PALLAS_GBF16", "1") != "0" \
+        and not _HIPREC else 4
     scratch = ((2 + K) * B * group * 4            # x/q tiles + K deltas
-               + 2 * group * group * 4            # correction blocks
-               + 2 * group * PANEL * 4            # G panels (dbuf)
+               + 2 * group * group * gb           # correction blocks
+               + 2 * group * PANEL * gb           # G panels (dbuf)
                + 2 * B * PANEL * 4)               # q panels (dbuf)
     pipe = 2 * (group * group * 4
                 + B * group * 4 + B * group + group * 4)
@@ -1473,6 +1490,13 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         return jnp.dot(G, xT, preferred_element_type=F32,
                        precision=jax.lax.Precision.HIGHEST)
 
+    # loop-invariant bf16 copy of G for the kernel's correction/flush
+    # dots (their MXU inputs are bf16 at default precision regardless;
+    # streaming the pre-cast copy halves the sweep's dominant HBM read).
+    Gq = G.astype(jnp.bfloat16) \
+        if _os.environ.get("SLIM_PALLAS_GBF16", "1") != "0" and not _HIPREC \
+        else G
+
     # once-reduced per-(group, column) activity; see the v3 core comment
     ga = act_fT.reshape(ngroups, npad // ngroups, B).max(axis=1)
 
@@ -1502,7 +1526,7 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         qT = jax.lax.cond((t % _qref == 0) & (t > 0),
                           exact_qT, lambda _x: qT, xT)
         xn, qn, liven, nit_d, dl = pallas_cd_sweep_large_v4(
-            G, gjT, act_i8T, xT, qT, live, diag2d, regsT, perm, has,
+            G, Gq, gjT, act_i8T, xT, qT, live, diag2d, regsT, perm, has,
             interpret=interpret)
         died = (live[0] > 0) & (liven[0] == 0)
         conv = conv | (died & (dl[0] < jnp.asarray(optTol, F32)))
