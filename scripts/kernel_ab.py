@@ -89,8 +89,15 @@ perm = jnp.arange(ngroups, dtype=jnp.int32)
 has = jnp.ones((ngroups,), jnp.int32)
 
 if V4:
-    Gq = G.astype(jnp.bfloat16) \
-        if os.environ.get("SLIM_PALLAS_GBF16", "1") != "0" else G
+    if os.environ.get("SLIM_PALLAS_GBF16", "1") != "0":
+        Gq = G.astype(jnp.bfloat16)
+        if os.environ.get("SLIM_PALLAS_GTILE", "1") != "0":
+            grp = pc.pick_group_v4(npad, B)
+            Gq = (Gq.reshape(npad, npad // grp, grp)
+                  .transpose(1, 0, 2)
+                  .reshape((npad // grp) * npad, grp))
+    else:
+        Gq = G
     sweep_args = lambda xx, qq: (G, Gq, gj, act_i8, xx, qq, live, diag2d,
                                  regs, perm, has)
 else:

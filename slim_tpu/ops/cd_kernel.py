@@ -99,7 +99,7 @@ def _large_variant_kwargs(variant):
     jax.jit, static_argnames=("shuffle", "fslim_nnbrs", "simtype", "impl",
                               "x0_zero", "variant"))
 def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
-                       l1r, l2r, optTol, seed, shuffle=True,
+                       l1r, l2r, optTol, seed, gq=None, shuffle=True,
                        fslim_nnbrs=0, simtype="cos", impl="xla",
                        x0_zero=False, variant=None):
     """Column-id entry point: derives gj / active-set / yty from G inside
@@ -110,7 +110,10 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
     ``j_ids`` padded entries should point at a zero column of G (the
     driver pads with npad-1); their caps must be 0.  ``l1r``/``l2r``
     accept a scalar or a per-column (B,) vector (per-column regularisation
-    powers the parallel-grid mselect mode).
+    powers the parallel-grid mselect mode).  ``gq``: optional hoisted
+    bf16(-tiled) copy of G for the v4 kernel (pallas_cd.make_gq) --
+    building it once per learn instead of inside every launch saves
+    ~17 ms/launch of HBM traffic.
     """
     diag = jnp.diagonal(G)
     gj = jnp.take(G, j_ids, axis=1).T                       # (B, npad)
@@ -135,7 +138,7 @@ def cd_solve_block_ids(G, j_ids, col_maxniters, x0, n_valid,
         return pallas_solve_large_core(G, gj, diag, active, x0,
                                        col_maxniters, yty, l1r, l2r, optTol,
                                        seed, shuffle=shuffle,
-                                       x0_zero=x0_zero,
+                                       x0_zero=x0_zero, gq=gq,
                                        **_large_variant_kwargs(variant))
     return _cd_core(G, gj, diag, active, x0, col_maxniters, yty,
                     l1r, l2r, optTol, seed, shuffle)

@@ -914,7 +914,7 @@ def pallas_large_v3_supported(B: int, npad: int) -> bool:
 
 
 def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
-                           K: int, group: int, gbf: bool,
+                           K: int, group: int, gbf: bool, gt: bool,
                            # scalar-prefetch refs
                            perm_ref, has_ref,
                            # pipelined per-group blocks
@@ -941,7 +941,12 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
     is bf16 -- the dominant per-sweep HBM stream (a full G read) halves,
     while the dot inputs stay what the MXU consumed anyway (Mosaic's
     default-precision dots take bf16 operands); the GS math itself keeps
-    the f32 G through ggg/gj/diag."""
+    the f32 G through ggg/gj/diag.
+
+    ``gt``: g_hbm is WINDOW-TILED: shape (ngroups*npad, group) with
+    g_hbm[w*npad + p, c] = G[p, w*group + c], so the correction and
+    flush DMAs read single contiguous runs instead of strided column
+    slices whose rows are 1-2 KB each."""
     g = pl.program_id(0)
     l1 = regs_ref[0:1, :]
     l2 = regs_ref[1:2, :]
@@ -989,10 +994,13 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
         for k in range(K - 1):
             @pl.when(k < slot_in_win)
             def _(k=k):
+                src = g_hbm.at[
+                    pl.ds(pl.multiple_of(
+                        perm_ref[g0 + k] * npad + base, group), group), :] \
+                    if gt else g_hbm.at[pl.ds(base, group),
+                                        pl.ds(win_base(k), group)]
                 cp = pltpu.make_async_copy(
-                    g_hbm.at[pl.ds(base, group),
-                             pl.ds(win_base(k), group)],
-                    gcor_scr.at[k % 2], sems.at[6 + k % 2])
+                    src, gcor_scr.at[k % 2], sems.at[6 + k % 2])
                 cp.start()
                 cp.wait()
                 dxc = dxk_scr[k][...]
@@ -1073,9 +1081,13 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
         # combined flush: q[p, :] += sum_k G[p, win_k] . dx_k
         def start_g(pb, k, slot):
             off = pl.multiple_of(pb * PANEL, PANEL)
+            src = g_hbm.at[
+                pl.ds(pl.multiple_of(perm_ref[g0 + k] * npad + off, PANEL),
+                      PANEL), :] \
+                if gt else g_hbm.at[pl.ds(off, PANEL),
+                                    pl.ds(win_base(k), group)]
             pltpu.make_async_copy(
-                g_hbm.at[pl.ds(off, PANEL), pl.ds(win_base(k), group)],
-                gpan_scr.at[slot], sems.at[2 + slot]).start()
+                src, gpan_scr.at[slot], sems.at[2 + slot]).start()
 
         def wait_g(slot):
             pltpu.make_async_copy(
@@ -1162,10 +1174,12 @@ def pallas_cd_sweep_large_v4(G, Gq, gjT, actT_i8, xT, qT, live_1B, diag2d,
     npanels = npad // PANEL
     K = K_FLUSH
     gbf = Gq.dtype == jnp.bfloat16
+    gt = Gq.shape == (ngroups * npad, group)
     gdt = jnp.bfloat16 if gbf else F32
     assert ngroups % K == 0
+    assert gt or Gq.shape == (npad, npad)
     kernel = functools.partial(_sweep_kernel_large_v4, ngroups, npanels,
-                               B, npad, K, group, gbf)
+                               B, npad, K, group, gbf, gt)
 
     def group_rows(g, perm, has):
         return (perm[g], 0)
@@ -1348,7 +1362,7 @@ def pallas_pick_large_variant(B: int, npad: int) -> str:
 def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
                             l1r, l2r, optTol, seed, shuffle=True,
                             interpret=False, use_v3=None, use_v4=None,
-                            x0_zero=False):
+                            x0_zero=False, gq=None):
     """Block solve on the panelized kernel (HBM-resident x/q): JAX while
     over sweeps, per-column convergence in-kernel.  q is carried between
     launches (the kernel maintains it exactly via f32 MXU propagation)
@@ -1373,7 +1387,7 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
         return _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters,
                                     yty, l1r, l2r, optTol, seed,
                                     shuffle=shuffle, interpret=interpret,
-                                    x0_zero=x0_zero)
+                                    x0_zero=x0_zero, gq=gq)
     if use_v3 is None:
         use_v3 = (_os.environ.get("SLIM_PALLAS_V3", "1") != "0"
                   and pallas_large_v3_supported(B, npad))
@@ -1450,6 +1464,27 @@ def pallas_solve_large_core(G, gj, diag, active, x0, col_maxniters, yty,
     return x, niters, converged, rnorm, obj
 
 
+def gq_enabled() -> bool:
+    """Whether the v4 solve path streams a bf16 copy of G."""
+    return _os.environ.get("SLIM_PALLAS_GBF16", "1") != "0" and not _HIPREC
+
+
+@functools.partial(jax.jit, static_argnames=("group", "tile"))
+def make_gq(G, group, tile=True):
+    """Build the bf16 (optionally window-tiled) copy of G that the v4
+    kernel's correction/flush dots stream.  The driver hoists this to
+    once per learn (building it inside every launch costs ~17 ms of
+    HBM traffic each); :func:`_solve_large_core_v4` builds it in-launch
+    when no hoisted copy is supplied."""
+    npad = G.shape[0]
+    Gq = G.astype(jnp.bfloat16)
+    if tile:
+        Gq = (Gq.reshape(npad, npad // group, group)
+              .transpose(1, 0, 2)
+              .reshape((npad // group) * npad, group))
+    return Gq
+
+
 def _exact_obj() -> bool:
     """SLIM_EXACT_OBJ=1 recomputes q = Gx exactly for the stats epilogue
     (one HIGHEST-precision (B,npad)x(npad,npad) matmul per launch,
@@ -1463,7 +1498,7 @@ def _exact_obj() -> bool:
 
 def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
                          l1r, l2r, optTol, seed, shuffle=True,
-                         interpret=False, x0_zero=False):
+                         interpret=False, x0_zero=False, gq=None):
     """Transposed-layout sweep loop (see :func:`pallas_solve_large_core`):
     all (B, npad) operands are transposed ONCE outside the while loop
     (XLA transposes, negligible next to the sweeps), carried
@@ -1493,9 +1528,20 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
     # loop-invariant bf16 copy of G for the kernel's correction/flush
     # dots (their MXU inputs are bf16 at default precision regardless;
     # streaming the pre-cast copy halves the sweep's dominant HBM read).
-    Gq = G.astype(jnp.bfloat16) \
-        if _os.environ.get("SLIM_PALLAS_GBF16", "1") != "0" and not _HIPREC \
-        else G
+    # It ships WINDOW-TILED -- (ngroups*npad, group) with
+    # Gq[w*npad + p, c] = G[p, w*group + c] -- so those DMAs are single
+    # contiguous runs (1-2 KB strided rows otherwise).
+    if gq is not None:
+        Gq = gq              # hoisted by the driver, once per learn
+    elif gq_enabled():
+        Gq = G.astype(jnp.bfloat16)
+        if _os.environ.get("SLIM_PALLAS_GTILE", "1") != "0":
+            _grp = pick_group_v4(npad, B)
+            Gq = (Gq.reshape(npad, npad // _grp, _grp)
+                  .transpose(1, 0, 2)
+                  .reshape((npad // _grp) * npad, _grp))
+    else:
+        Gq = G
 
     # once-reduced per-(group, column) activity; see the v3 core comment
     ga = act_fT.reshape(ngroups, npad // ngroups, B).max(axis=1)

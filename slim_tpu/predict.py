@@ -399,7 +399,9 @@ def _predict_topn_scan_pallas(hist, nrcmds, ub, W, n, npad, prec,
                 fn, f"predict_densify_w{w}_n{n}_r{nrcmds}_p{prec}"
                     f"_o{int(ones)}", args, {}))
     packed = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    sorted_host = np.asarray(packed)[:nusers]
+    from .utils import submit_fetch
+
+    sorted_host = submit_fetch(packed).result()[0][:nusers]
     ids_s, sc_s, cnt_s = _unpack_topn(sorted_host, nrcmds)
     ids = np.empty_like(ids_s)
     sc = np.empty_like(sc_s)
@@ -455,7 +457,9 @@ def _predict_topn_scan(hist, nrcmds, user_block, W, n, npad, prec):
     packed = fn(W, jnp.asarray(idx), jnp.asarray(val),
                 jnp.asarray(hist.indptr.astype(np.int32)),
                 jnp.asarray(starts))
-    all_host = np.asarray(packed)[:nusers]
+    from .utils import submit_fetch
+
+    all_host = submit_fetch(packed).result()[0][:nusers]
     return _unpack_topn(all_host, nrcmds)
 
 
@@ -757,7 +761,9 @@ def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
     packed = fn(Widx, Wval, jnp.asarray(idx), jnp.asarray(val),
                 jnp.asarray(hist.indptr.astype(np.int32)),
                 jnp.asarray(starts))
-    all_host = np.asarray(packed)[:nusers]
+    from .utils import submit_fetch
+
+    all_host = submit_fetch(packed).result()[0][:nusers]
     return _unpack_topn(all_host, nrcmds)
 
 

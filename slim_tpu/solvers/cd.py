@@ -762,6 +762,28 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     total_niters = 0
     coord_ids, target_ids, vals = [], [], []
 
+    # hoisted bf16(-tiled) G copy for the v4 kernel, built once per
+    # (replica, supergroup size) instead of inside every launch (the
+    # in-launch build costs ~17 ms of HBM traffic each; see
+    # pallas_cd.make_gq).  Lives only for this learn.
+    _gq_cache = {}
+
+    def _hoisted_gq(g_blk, blk, b, width):
+        from ..ops.pallas_cd import (gq_enabled, make_gq,
+                                     pallas_pick_large_variant,
+                                     pick_group_v4)
+
+        if not on_tpu or not gq_enabled() \
+                or pallas_pick_large_variant(b, width) != "v4":
+            return None
+        grp = pick_group_v4(width, b)
+        key = (blk % len(g_all) if g_all is not None else 0, grp)
+        gq = _gq_cache.get(key)
+        if gq is None:
+            tile = os.environ.get("SLIM_PALLAS_GTILE", "1") != "0"
+            gq = _gq_cache[key] = make_gq(g_blk, grp, tile)
+        return gq
+
     def dispatch_block(blk):
         """Enqueue one block's solve; returns (blk, nJ, out, S_host), or
         None when the block was restored from a checkpoint."""
@@ -794,11 +816,13 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
 
         def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
                        g_blk=g_blk):
+            gq = _hoisted_gq(g_blk, blk, b, npad) \
+                if im == "pallas_large" else None
             return _solve_ids(
                 (g_blk, jnp.asarray(Jpad[i:i + b]),
                  jnp.asarray(caps[i:i + b]), x0[i:i + b], n,
                  float(cfg.l1r), float(cfg.l2r), float(cfg.optTol),
-                 int(cfg.seed) + blk),
+                 int(cfg.seed) + blk, gq),
                 dict(shuffle=cfg.shuffle, fslim_nnbrs=int(fslim_nnbrs),
                      simtype=cfg.simtype, impl=im, x0_zero=not use_warm))
 
