@@ -210,11 +210,18 @@ def wait_for_device(max_wait_s):
     TPU-relay outage that blackholes every process touching the backend
     (``import jax`` itself hangs), so the probe MUST run in a subprocess
     under a timeout -- probing in-process would hang the bench forever.
-    Retries with a 60s period until the device answers or the budget runs
-    out.  Returns (alive, error).  A probe that fails FAST is not an
-    outage (blackholed probes hang) -- broken env / import errors bail
-    after 3 consecutive fast failures with the probe's stderr instead of
-    burning the whole budget.  Skipped when JAX is pinned to CPU."""
+    Retries until the device answers or the budget runs out.  Returns
+    (alive, error).  A probe that fails FAST is not an outage (blackholed
+    probes hang) -- broken env / import errors bail after 3 consecutive
+    fast failures with the probe's stderr instead of burning the whole
+    budget.  Skipped when JAX is pinned to CPU.
+
+    Round-4 postmortem hardening (BENCH_r04 was rc=124/parsed-null): the
+    deadline is now checked BEFORE each probe and each probe's subprocess
+    timeout is capped to the remaining budget, so the loop can never
+    overshoot ``max_wait_s`` by more than a few seconds -- previously a
+    probe started at "1 min left" could run 60s sleep + 120s probe past
+    the driver's own timeout and die marker-less."""
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return True, None
     probe = [sys.executable, "-c",
@@ -223,10 +230,15 @@ def wait_for_device(max_wait_s):
     deadline = time.monotonic() + max_wait_s
     attempt = fast_failures = 0
     while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 1:
+            return False, (f"TPU backend unreachable after "
+                           f"{max_wait_s:.0f}s of probing")
         attempt += 1
         t0 = time.monotonic()
         try:
-            r = subprocess.run(probe, capture_output=True, timeout=120)
+            r = subprocess.run(probe, capture_output=True,
+                               timeout=min(120, remaining))
             if r.returncode == 0:
                 if attempt > 1:
                     log(f"[bench] device answered on probe {attempt}")
@@ -246,22 +258,37 @@ def wait_for_device(max_wait_s):
                            f"{max_wait_s:.0f}s of probing")
         log(f"[bench] device probe {attempt} failed; retrying "
             f"({remaining / 60:.0f} min left in budget)")
-        time.sleep(min(60, max(1, remaining)))
+        time.sleep(min(60, max(1, remaining - 1)))
+
+
+def down_marker(err, provisional=False):
+    rec = {
+        "metric": f"{workload_name()}_cd_item_columns_per_sec",
+        "value": None, "unit": "columns/sec", "vs_baseline": None,
+        "device_down": True,
+        "error": err,
+    }
+    if provisional:
+        rec["provisional"] = True
+    return json.dumps(rec)
 
 
 def main():
-    # Survive the known TPU-relay outage: probe (bounded, default 30 min)
-    # before the workload, and on a dead device emit a clean machine-readable
-    # marker instead of a hang or a stack trace.
-    probe_s = float(os.environ.get("SLIM_BENCH_PROBE_S", "1800"))
+    # Survive the known TPU-relay outage in EVERY death mode: print a
+    # provisional device-down marker up front (a successful run supersedes
+    # it -- the driver parses the last JSON line), then probe (bounded,
+    # default 15 min: BENCH_r04 showed the driver's own budget is ~30 min,
+    # so the probe must leave headroom for the workload or at least for a
+    # clean final marker), and on a dead device emit the final marker.
+    print(down_marker(
+        "provisional marker printed at startup; the process died "
+        "(driver timeout / crash / mid-run device loss) before a real "
+        "result or a final device_down marker could be printed",
+        provisional=True), flush=True)
+    probe_s = float(os.environ.get("SLIM_BENCH_PROBE_S", "900"))
     alive, err = wait_for_device(probe_s)
     if not alive:
-        print(json.dumps({
-            "metric": f"{workload_name()}_cd_item_columns_per_sec",
-            "value": None, "unit": "columns/sec", "vs_baseline": None,
-            "device_down": True,
-            "error": err,
-        }))
+        print(down_marker(err), flush=True)
         return
 
     # persistent compile cache: repeat bench runs skip the (remote) TPU
@@ -320,7 +347,7 @@ def main():
         # discussion).
         "cpu_baseline_threads": os.cpu_count(),
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

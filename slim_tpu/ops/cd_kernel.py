@@ -204,8 +204,8 @@ def block_union_flags(G, nblocks, B, l1r):
 
     Returns u (nblocks, npad) bool: u[b, i] = coordinate i is active for
     some column of block b (columns [b*B, (b+1)*B), self excluded).  The
-    driver fetches u in a single small transfer and builds the compacted
-    index lists on the host.
+    driver compacts u on device (:func:`compact_union_ids`) and fetches
+    only the per-block counts.
     """
     npad = G.shape[0]
     total = nblocks * B
@@ -221,6 +221,27 @@ def block_union_flags(G, nblocks, B, l1r):
     self_term = (jnp.arange(nblocks)[None, :] == self_block[:, None]) \
         & self_over[:, None] & (rows < min(total, npad))[:, None]
     return ((cnt - self_term.astype(cnt.dtype)) > 0).T   # (nblocks, npad)
+
+
+@jax.jit
+def compact_union_ids(u):
+    """Compact the (nblocks, npad) union flags ON DEVICE.
+
+    Returns (ids (nblocks, npad) int32, counts (nblocks,) int32): ids[b]
+    holds block b's flagged coordinate ids ascending, padded with npad-1
+    (the zero row/col, same convention as block_union_mask).  The driver
+    fetches only ``counts`` (the first post-Gram sync, a few hundred
+    bytes) and slices each block's (K,) list from the device-resident
+    ``ids`` -- the (nblocks, npad) flag matrix never crosses the tunnel
+    and no host-side index lists are built or re-uploaded (the screen
+    this serves: estimate.c:411-421).
+    """
+    npad = u.shape[1]
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    # inactive entries sort after every real id, then clamp to npad-1
+    keys = jnp.where(u, iota[None, :], jnp.int32(1 << 30))
+    ids = jnp.minimum(jnp.sort(keys, axis=1), jnp.int32(npad - 1))
+    return ids, jnp.sum(u, axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "fslim_nnbrs", "simtype"))

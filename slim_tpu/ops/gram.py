@@ -265,14 +265,18 @@ def gram_device_csr(mat: CSR, pad_to: int | None = None,
     vals = mat.values()
     ones = bool(vals.size == 0 or
                 (vals[0] == 1.0 and np.all(vals == 1.0)))
-    idx = mat.indices.astype(np.uint16 if n <= 65536 else np.int32)
+    idt = np.uint16 if n <= 65536 else np.int32
+    idx_d = mat.dev_put(("idx", idt.__name__),
+                        lambda: jnp.asarray(mat.indices.astype(idt)))
     val_d = jnp.zeros((1,), jnp.float32) if ones \
-        else jnp.asarray(vals.astype(np.float32))
+        else mat.dev_put("val32",
+                         lambda: jnp.asarray(vals.astype(np.float32)))
     fn = _get_gram_csr(row_block, n, P, nrb, ones, max(int(mat.nnz), 1),
                        mat.nrows,
                        bf16_exact=ones or _values_bf16_exact(vals))
-    return fn(jnp.asarray(idx), val_d, jnp.asarray(starts),
-              jnp.asarray(mat.indptr.astype(np.int32)))
+    return fn(idx_d, val_d, jnp.asarray(starts),
+              mat.dev_put("gram_indptr32",
+                          lambda: jnp.asarray(mat.indptr.astype(np.int32))))
 
 
 _gram_pallas_fns: dict = {}
@@ -394,10 +398,12 @@ def gram_device_pallas(mat: CSR, pad_to: int | None = None,
         groups[(w, rb)][1].append(rl)
         cur += take
 
-    idx_d = jnp.asarray(mat.indices.astype(
-        np.uint16 if n <= 65536 else np.int32))
+    idt = np.uint16 if n <= 65536 else np.int32
+    idx_d = mat.dev_put(("idx", idt.__name__),
+                        lambda: jnp.asarray(mat.indices.astype(idt)))
     val_d = jnp.zeros((1,), jnp.float32) if ones \
-        else jnp.asarray(vals.astype(np.float32))
+        else mat.dev_put("val32",
+                         lambda: jnp.asarray(vals.astype(np.float32)))
     G = jnp.zeros((n, n), jnp.float32)
     for (w, rb), (rss, rls) in groups.items():
         fn = _get_gram_pallas(w, rb, len(rss), n, ones, bf16_exact,

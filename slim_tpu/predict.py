@@ -377,10 +377,13 @@ def _predict_topn_scan_pallas(hist, nrcmds, ub, W, n, npad, prec,
         cur += take
 
     ones = hist.data is None
-    idx_d = jnp.asarray(hist.indices.astype(
-        np.uint16 if max(n, npad) < 65536 else np.int32))
+    idt = np.uint16 if max(n, npad) < 65536 else np.int32
+    idx_d = hist.dev_put(("idx", idt.__name__),
+                         lambda: jnp.asarray(hist.indices.astype(idt)))
     val_d = jnp.zeros((1,), jnp.float32) if ones \
-        else jnp.asarray(hist.values().astype(np.float32))
+        else hist.dev_put("val32",
+                          lambda: jnp.asarray(hist.values().astype(
+                              np.float32)))
 
     parts = []
     for w, (rss, rls) in groups.items():

@@ -666,6 +666,15 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # fetched in one transfer, K bucketed per block for compile reuse
     union_S = {}
     union_S_host = {}
+    _s_resolver = []   # deferred compact-list fetch (see s_host_of)
+
+    def s_host_of(blk):
+        """Host copy of block ``blk``'s compact->original id map (assembly
+        needs it to re-inflate coordinates).  Resolved lazily from the
+        background fetch so the transfer overlaps the first solves."""
+        if blk not in union_S_host and _s_resolver:
+            _s_resolver.pop()()
+        return union_S_host[blk]
     if use_compact and fslim_nnbrs > 0:
         j_all = np.stack([block_meta(blk)[2] for blk in range(nblocks)])
         S_all, counts = block_union_masks_batched(
@@ -681,29 +690,55 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                             if g_all is not None else S_all[blk, :K])
             union_S_host[blk] = S_host[blk, :K]
     elif use_compact:
-        # screening unions: one slice-reduce pass over G on device, the
-        # (nblocks, npad) flag matrix fetched in a single small transfer,
-        # and the compacted index lists built on the host (device argsorts
-        # over npad-wide keys measured slower than this round trip)
+        # screening unions: one slice-reduce pass over G on device, then
+        # the compacted per-block index lists are built ON DEVICE
+        # (compact_union_ids) -- the host fetches only the (nblocks,)
+        # counts (the first post-Gram sync, ~100 bytes; the round-3 path
+        # fetched the whole (nblocks, npad) flag matrix, built the lists
+        # on host and re-uploaded them) and slices each block's (K,) list
+        # from the device-resident matrix.  The lists cross the tunnel
+        # once, in the background, only for the blocks that actually
+        # solve compact (K < npad; at ML-20M every union is full-width
+        # and nothing but the counts moves).
+        from ..ops.cd_kernel import compact_union_ids
+
         u_dev = block_union_flags(g_dev, nblocks, B, float(cfg.l1r))
+        s_dev, cnt_dev = compact_union_ids(u_dev)
         _mark("flags-dispatch")
-        u_host = np.asarray(u_dev)
+        counts_h = np.asarray(cnt_dev)
         _mark("flags-fetch")
-        s_host, by_K = {}, {}
-        for blk in range(nblocks):
-            ids = np.nonzero(u_host[blk])[0]
-            K = min(bucket_npad(max(ids.size, 1)), npad)
-            s = np.full(K, npad - 1, dtype=np.int32)
-            s[:min(ids.size, K)] = ids[:K].astype(np.int32)
-            s_host[blk] = s
-            by_K.setdefault(K, []).append(blk)
-        # one device_put per distinct K (each transfer costs ~40ms through
-        # the tunnel; per-block puts would dominate the phase)
-        for K, blks in by_K.items():
-            batch = jnp.asarray(np.stack([s_host[b] for b in blks]))
-            for i, blk in enumerate(blks):
-                union_S[blk] = (K, batch[i])
-                union_S_host[blk] = s_host[blk]
+        if g_all is not None:
+            # multi-chip replicated-G: the per-block S must be movable to
+            # any replica's device, so route through the host as before
+            s_all_h = np.asarray(s_dev)
+            for blk in range(nblocks):
+                K = min(bucket_npad(max(int(counts_h[blk]), 1)), npad)
+                union_S[blk] = (K, jnp.asarray(s_all_h[blk, :K]))
+                union_S_host[blk] = s_all_h[blk, :K]
+            need = []
+        else:
+            need = []
+            for blk in range(nblocks):
+                K = min(bucket_npad(max(int(counts_h[blk]), 1)), npad)
+                union_S[blk] = (K, s_dev[blk, :K])
+                if K < npad:
+                    need.append(blk)
+        if need:
+            # background d2h of the compact->original id maps the
+            # assembly will need (overlaps the solves)
+            from ..utils import submit_fetch as _sf
+
+            Kmax = max(union_S[b][0] for b in need)
+            _s_fut = _sf(jnp.take(
+                s_dev, jnp.asarray(np.array(need, np.int32)), axis=0
+            )[:, :Kmax])
+
+            def _resolve_s_host(_fut=_s_fut, _need=tuple(need)):
+                rows = _fut.result()[0]
+                for i, b in enumerate(_need):
+                    union_S_host[b] = rows[i, :union_S[b][0]]
+
+            _s_resolver.append(_resolve_s_host)
 
     _mark("unions")
     if use_compact and dbg(cfg, SLIM_DBG_TIME):
@@ -812,7 +847,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                          x0_zero=not use_warm))
 
             return (blk, nJ, dispatch_split(solve_cols, K),
-                    union_S_host[blk])
+                    s_host_of(blk))
 
         def solve_cols(im, i, b, Jpad=Jpad, caps=caps, x0=x0, blk=blk,
                        g_blk=g_blk):

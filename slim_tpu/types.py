@@ -43,6 +43,8 @@ class CSR:
     # lazily-built CSC view + column norms (cached)
     _csc: Optional["CSR"] = dataclasses.field(default=None, repr=False)
     _cnorms: Optional[np.ndarray] = dataclasses.field(default=None, repr=False)
+    # cached device uploads (see dev_put)
+    _dev: dict = dataclasses.field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -139,6 +141,22 @@ class CSR:
         if self.data is not None:
             return self.data
         return np.ones(self.nnz, dtype=np.float32)
+
+    def dev_put(self, key, build):
+        """Cached host->device upload keyed by ``key`` (``build()`` makes
+        the device array on first use).
+
+        Repeated learns/predicts over the same resident matrix -- bench
+        repeats, mselect grid points, a serving loop -- otherwise re-ship
+        ~2-6 bytes/nnz (≈40 MB at ML-20M) through the ~35 MB/s tunnel on
+        every call.  Safe because CSR is immutable by contract: every
+        transform (binarize/with_ncols/sort_indices/...) returns a new
+        object, so a cached upload can never go stale.
+        """
+        v = self._dev.get(key)
+        if v is None:
+            v = self._dev[key] = build()
+        return v
 
     # ------------------------------------------------------------------ #
     # transforms
