@@ -45,8 +45,14 @@ def _learn_with_gram(train, cfg, imodel, gram, g_replicas=None):
 
 
 def _eval_point(model, train, test, fmarker, nrcmds):
+    """Returns (eval record, predict seconds, metric seconds) -- the
+    per-point timing split feeds the warm-sweep attribution log."""
+    t0 = time.perf_counter()
     ids, _, counts = predict_topn(model, train, nrcmds=nrcmds)
-    return evaluate_topn(ids, counts, test, fmarker, require_test_items=True)
+    t_pred = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ev = evaluate_topn(ids, counts, test, fmarker, require_test_items=True)
+    return ev, t_pred, time.perf_counter() - t0
 
 
 def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
@@ -97,10 +103,12 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
                                         g_replicas=g_replicas)
         t_learn = time.perf_counter() - t0
 
-        ev = _eval_point(model, train, test, fmarker, cfg.nrcmds)
+        ev, t_pred, t_metric = _eval_point(model, train, test, fmarker,
+                                           cfg.nrcmds)
         rec = {"l1r": float(l1), "l2r": float(l2), "nnz": model.nnz,
                "hr": ev.hr, "hr_head": ev.hr_head, "hr_tail": ev.hr_tail,
                "arhr": ev.arhr, "time": t_learn, "time_kind": "per_point",
+               "time_predict": t_pred, "time_metric": t_metric,
                "nvalid": ev.nvalid, "nvalid_head": ev.nvalid_head,
                "nvalid_tail": ev.nvalid_tail}
         if keep_models:
@@ -108,8 +116,10 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
         results.append(rec)
         logger.info(
             "l1r: %.2e l2r: %.2e nnz: %7d hr: %.4f hr_head: %.4f "
-            "hr_tail: %.4f arhr: %.4f time: %.2f",
-            l1, l2, model.nnz, ev.hr, ev.hr_head, ev.hr_tail, ev.arhr, t_learn)
+            "hr_tail: %.4f arhr: %.4f time: %.2f (learn %.2f + predict "
+            "%.2f + metrics %.2f)",
+            l1, l2, model.nnz, ev.hr, ev.hr_head, ev.hr_tail, ev.arhr,
+            t_learn + t_pred + t_metric, t_learn, t_pred, t_metric)
         if point_callback is not None:
             point_callback(rec, model)
 
@@ -165,7 +175,7 @@ def mselect_grid(train: CSR, test: CSR, cfg: SlimConfig, arrayl1, arrayl2,
             "bestl1AR": 0.0, "bestl2AR": 0.0, "bestHRAR": 0.0, "bestARAR": 0.0,
             "best_model_hr": None, "best_model_ar": None}
     for (l1, l2), (model, stats) in zip(points, solved):
-        ev = _eval_point(model, train, test, fmarker, cfg.nrcmds)
+        ev, _, _ = _eval_point(model, train, test, fmarker, cfg.nrcmds)
         rec = {"l1r": float(l1), "l2r": float(l2), "nnz": model.nnz,
                "hr": ev.hr, "hr_head": ev.hr_head, "hr_tail": ev.hr_tail,
                # the packed pass solves every point in ONE batched program:
