@@ -98,8 +98,12 @@ if V4:
                   .reshape((npad // grp) * npad, grp))
     else:
         Gq = G
+    npanels = npad // pc.PANEL
+    panarr = jnp.concatenate(
+        [jnp.asarray([npanels], jnp.int32),
+         jnp.arange(npanels, dtype=jnp.int32)])  # all panels live
     sweep_args = lambda xx, qq: (G, Gq, gj, act_i8, xx, qq, live, diag2d,
-                                 regs, perm, has)
+                                 regs, perm, has, panarr)
 else:
     sweep_args = lambda xx, qq: (G, gj, act_i8, xx, qq, live, diag2d,
                                  regs, perm, has)

@@ -102,7 +102,7 @@ _KNOB_ENVS = (
     "SLIM_PALLAS_PANEL", "SLIM_PALLAS_GROUP", "SLIM_PALLAS_V4_GROUP",
     "SLIM_PALLAS_MAXB", "SLIM_PALLAS_QREFRESH", "SLIM_EXACT_OBJ",
     "SLIM_GRAM_INT8", "SLIM_PALLAS_SS", "SLIM_PALLAS_HIPREC",
-    "SLIM_PALLAS_GBF16", "SLIM_PALLAS_GTILE")
+    "SLIM_PALLAS_GBF16", "SLIM_PALLAS_GTILE", "SLIM_PALLAS_PANSKIP")
 
 
 def _knob_sig() -> str:

@@ -584,6 +584,10 @@ SS_BLOCK = int(_os.environ.get("SLIM_PALLAS_SS", "32"))
 # MXU passes do NOT hide under the flush DMA stream; default stays off
 # (bf16 propagation + periodic exact refresh is the right trade).
 _HIPREC = _os.environ.get("SLIM_PALLAS_HIPREC", "0") == "1"
+
+# v4 flush live-panel compaction (q/G panel traffic scales with the live
+# row-groups instead of npad; 0 = A/B off switch, every panel processed)
+_PANSKIP = _os.environ.get("SLIM_PALLAS_PANSKIP", "1") != "0"
 _DOT_PREC = None  # resolved lazily (jax import order)
 
 
@@ -916,7 +920,7 @@ def pallas_large_v3_supported(B: int, npad: int) -> bool:
 def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                            K: int, group: int, gbf: bool, gt: bool,
                            # scalar-prefetch refs
-                           perm_ref, has_ref,
+                           perm_ref, has_ref, pan_ref,
                            # pipelined per-group blocks
                            ggg_ref,    # (group, group) diagonal block of G
                            gj_ref,     # (group, B) target-Gram group (T)
@@ -946,7 +950,17 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
     ``gt``: g_hbm is WINDOW-TILED: shape (ngroups*npad, group) with
     g_hbm[w*npad + p, c] = G[p, w*group + c], so the correction and
     flush DMAs read single contiguous runs instead of strided column
-    slices whose rows are 1-2 KB each."""
+    slices whose rows are 1-2 KB each.
+
+    ``pan_ref`` (npanels+1,) int32: [nlive, live panel ids..., pad].
+    The flush iterates only the LIVE q panels -- rows whose row-group is
+    dead (no active coordinate in any still-live column) receive q
+    updates that are never read again: their own GS is skipped forever
+    (liveness is monotone), the periodic exact q refresh overwrites
+    them, and every stats read is weighted by an x entry that is zero
+    there (x is masked to the active set).  Skipping them is therefore
+    exact, and flush traffic decays QUADRATICALLY (live windows x live
+    panels) on straggler sweeps instead of linearly."""
     g = pl.program_id(0)
     l1 = regs_ref[0:1, :]
     l2 = regs_ref[1:2, :]
@@ -1078,7 +1092,12 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
 
     @pl.when((slot_in_win == K - 1) & (win_any != 0))
     def _():
-        # combined flush: q[p, :] += sum_k G[p, win_k] . dx_k
+        # combined flush: q[p, :] += sum_k G[p, win_k] . dx_k, iterated
+        # over the LIVE panels only (pan_ref; exactness argument in the
+        # docstring).  ``i`` indexes the compacted list, pan_ref[1+i] the
+        # actual panel.
+        nlive = pan_ref[0]
+
         def start_g(pb, k, slot):
             off = pl.multiple_of(pb * PANEL, PANEL)
             src = g_hbm.at[
@@ -1100,7 +1119,8 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                 q_hbm.at[pl.ds(off, PANEL), :],
                 qpan_scr.at[slot], sems.at[4 + slot]).start()
 
-        def do_panel(pb, qslot):
+        def do_panel(i, qslot):
+            pb = pan_ref[1 + i]
             off = pl.multiple_of(pb * PANEL, PANEL)
             pltpu.make_async_copy(
                 q_hbm.at[pl.ds(off, PANEL), :],
@@ -1110,9 +1130,9 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
                 if k + 1 < K:
                     start_g(pb, k + 1, (k + 1) % 2)
                 else:
-                    @pl.when(pb + 1 < npanels)
+                    @pl.when(i + 1 < nlive)
                     def _():
-                        start_g(pb + 1, 0, (k + 1) % 2)
+                        start_g(pan_ref[2 + i], 0, (k + 1) % 2)
                 dxf = dxk_scr[k][...]
                 qpan_scr[qslot] += jnp.dot(
                     gpan_scr[k % 2],
@@ -1124,27 +1144,29 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
             cp_out.start()
             cp_out.wait()
 
-        start_q(0, 0)
-        start_g(0, 0, 0)
+        start_q(pan_ref[1], 0)
+        start_g(pan_ref[1], 0, 0)
 
-        def pan_body(pb, _):
-            @pl.when(pb + 1 < npanels)
+        def pan_body(i, _):
+            # static trip count (Mosaic-friendly); dead iterations are
+            # fully guarded out, costing only the loop scaffolding
+            @pl.when(i + 1 < nlive)
             def _():
-                @pl.when(jax.lax.rem(pb, 2) == 0)
+                @pl.when(jax.lax.rem(i, 2) == 0)
                 def _():
-                    start_q(pb + 1, 1)
+                    start_q(pan_ref[2 + i], 1)
 
-                @pl.when(jax.lax.rem(pb, 2) == 1)
+                @pl.when(jax.lax.rem(i, 2) == 1)
                 def _():
-                    start_q(pb + 1, 0)
+                    start_q(pan_ref[2 + i], 0)
 
-            @pl.when(jax.lax.rem(pb, 2) == 0)
+            @pl.when((i < nlive) & (jax.lax.rem(i, 2) == 0))
             def _():
-                do_panel(pb, 0)
+                do_panel(i, 0)
 
-            @pl.when(jax.lax.rem(pb, 2) == 1)
+            @pl.when((i < nlive) & (jax.lax.rem(i, 2) == 1))
             def _():
-                do_panel(pb, 1)
+                do_panel(i, 1)
 
             return 0
 
@@ -1161,13 +1183,16 @@ def _sweep_kernel_large_v4(ngroups: int, npanels: int, B: int, npad: int,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_cd_sweep_large_v4(G, Gq, gjT, actT_i8, xT, qT, live_1B, diag2d,
-                             regsT, groupperm, hasgroup, interpret=False):
+                             regsT, groupperm, hasgroup, panarr,
+                             interpret=False):
     """Transposed deferred-flush sweep: gjT/actT/xT/qT are (npad, B),
     live/nit/dltx are (1, B), regsT is (5, B).  Same window contract as
     :func:`pallas_cd_sweep_large_v3`.  ``Gq`` is the copy of G streamed
     by the correction/flush dots -- bf16 (halving the dominant per-sweep
     HBM read; the loop-invariant cast lives in the caller) unless
-    SLIM_PALLAS_GBF16=0 passed G itself."""
+    SLIM_PALLAS_GBF16=0 passed G itself.  ``panarr`` (npanels+1,) int32 =
+    [n_live_panels, live panel ids...] drives the flush's live-panel
+    compaction (see the kernel docstring)."""
     npad, B = gjT.shape
     group = pick_group_v4(npad, B)
     ngroups = npad // group
@@ -1181,20 +1206,20 @@ def pallas_cd_sweep_large_v4(G, Gq, gjT, actT_i8, xT, qT, live_1B, diag2d,
     kernel = functools.partial(_sweep_kernel_large_v4, ngroups, npanels,
                                B, npad, K, group, gbf, gt)
 
-    def group_rows(g, perm, has):
+    def group_rows(g, perm, has, pan):
         return (perm[g], 0)
 
-    def diag_cols(g, perm, has):
+    def diag_cols(g, perm, has, pan):
         return (0, perm[g])
 
-    def ggg_map(g, perm, has):
+    def ggg_map(g, perm, has, pan):
         return (perm[g], perm[g])
 
-    def whole(g, perm, has):
+    def whole(g, perm, has, pan):
         return (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec((group, group), ggg_map),
@@ -1237,8 +1262,8 @@ def pallas_cd_sweep_large_v4(G, Gq, gjT, actT_i8, xT, qT, live_1B, diag2d,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(groupperm, hasgroup, G, gjT, actT_i8, diag2d, Gq, xT, qT, live_1B,
-      regsT)
+    )(groupperm, hasgroup, panarr, G, gjT, actT_i8, diag2d, Gq, xT, qT,
+      live_1B, regsT)
     return xo, qo, lo, nit, dl
 
 
@@ -1563,6 +1588,21 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
         inactive = (~jnp.take(group_any, perm)).astype(jnp.int32)
         perm = jnp.take(perm, jnp.argsort(inactive, stable=True))
         has = jnp.take(group_any, perm).astype(jnp.int32)
+        # live q panels for the flush's panel compaction: a PANEL of rows
+        # is live iff any covering row-group still has active work
+        # (SLIM_PALLAS_PANSKIP=0 disables for A/B: every panel listed)
+        grp = npad // ngroups
+        if _PANSKIP:
+            rows_live = jnp.repeat(group_any, grp) \
+                .reshape(npad // PANEL, PANEL).any(axis=1)
+            panlist = jnp.argsort(~rows_live, stable=True) \
+                .astype(jnp.int32)
+            panarr = jnp.concatenate(
+                [jnp.sum(rows_live, dtype=jnp.int32)[None], panlist])
+        else:
+            panarr = jnp.concatenate(
+                [jnp.asarray([npad // PANEL], jnp.int32),
+                 jnp.arange(npad // PANEL, dtype=jnp.int32)])
         regsT = jnp.stack(
             [l1v, l2v, caps_f, jnp.zeros((B,), F32) + t.astype(F32),
              jnp.zeros((B,), F32) + jnp.asarray(optTol, F32)], axis=0)
@@ -1573,7 +1613,7 @@ def _solve_large_core_v4(G, gj, diag, active, x0, col_maxniters, yty,
                           exact_qT, lambda _x: qT, xT)
         xn, qn, liven, nit_d, dl = pallas_cd_sweep_large_v4(
             G, Gq, gjT, act_i8T, xT, qT, live, diag2d, regsT, perm, has,
-            interpret=interpret)
+            panarr, interpret=interpret)
         died = (live[0] > 0) & (liven[0] == 0)
         conv = conv | (died & (dl[0] < jnp.asarray(optTol, F32)))
         return xn, qn, liven, niters + nit_d[0], conv, t + 1
