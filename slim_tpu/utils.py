@@ -73,52 +73,6 @@ def submit_fetch(*arrs) -> _FetchHandle:
     return _FetchHandle(parts, len(arrs))
 
 
-class _PutHandle:
-    """Handle for an in-flight chunked host->device upload."""
-
-    def __init__(self, futs):
-        self._futs = futs
-
-    def result(self):
-        import jax.numpy as jnp
-
-        if len(self._futs) == 1:
-            return self._futs[0].result()
-        return jnp.concatenate([f.result() for f in self._futs], axis=0)
-
-
-def submit_put(a) -> _PutHandle:
-    """Chunked host->device upload of one array on the shared pool.
-
-    The d2h side measured 25 -> 42 MB/s with 2 concurrent streams on the
-    tunnelled PJRT transport (submit_fetch); uploads ride the same tunnel,
-    so large puts (the ~200 MB model upload of an ML-20M mselect eval, the
-    warm-start CSC, the Gram indices on a cold learn) are split along
-    axis 0 the same way.  ``.result()`` returns the device array (chunks
-    device-concatenated -- an HBM-to-HBM copy, negligible next to the
-    transfer).  SLIM_FETCH_WORKERS=1 restores a single direct put.
-    """
-    import jax.numpy as jnp
-    import numpy as np
-
-    pool = _pool()
-    nworkers = pool._max_workers
-    chunk_bytes = int(os.environ.get("SLIM_FETCH_CHUNK_MB", "16")) << 20
-    a = np.ascontiguousarray(a)
-    rows = a.shape[0] if a.ndim else 0
-    if nworkers <= 1 or a.nbytes <= 2 * chunk_bytes or rows < 2:
-        return _PutHandle([pool.submit(jnp.asarray, a)])
-    per = max(1, int(rows * chunk_bytes / a.nbytes))
-    futs = [pool.submit(jnp.asarray, a[r0:r0 + per])
-            for r0 in range(0, rows, per)]
-    return _PutHandle(futs)
-
-
-def put_chunked(a):
-    """Blocking convenience wrapper over :func:`submit_put`."""
-    return submit_put(a).result()
-
-
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent).
 
