@@ -37,6 +37,14 @@ def _pow2ceil(n: int) -> int:
     return m
 
 
+def _nnz_bucket(n: int) -> int:
+    """1/8-octave size bucket for the big flat uploads (model nnz,
+    history nnz); see utils.nnz_bucket."""
+    from .utils import nnz_bucket
+
+    return nnz_bucket(n)
+
+
 def _hist_dense(npad, hist_idx, hist_val):
     """Scatter padded histories into a dense (U, npad) ratings matrix plus
     the history-membership mask (marker = -2, predict.c:33-37).  Duplicate
@@ -117,7 +125,7 @@ def densify_model_device(model: CSR, npad: int):
     # compiled program (a raw-nnz key would recompile -- minutes on
     # remote-compile setups -- for every new model); padded entries
     # carry column id npad and are dropped by the OOB scatter mode
-    T = _pow2ceil(nnz)
+    T = _nnz_bucket(nnz)
     key = (npad, T, model.nrows)
     fn = _densify_fns.get(key)
     if fn is None:
@@ -446,7 +454,7 @@ def _predict_topn_scan(hist, nrcmds, user_block, W, n, npad, prec):
     # pow2-bucket the flat-CSR length so same-dataset-class jobs share
     # one compiled program regardless of the exact nnz (pad indices carry
     # item id n -> masked by the c < n guard in the kernel)
-    T = _pow2ceil(max(int(hist.nnz), 1))
+    T = _nnz_bucket(max(int(hist.nnz), 1))
     idx = np.full(T, n, np.int32)
     if hist.nnz:
         idx[:hist.nnz] = hist.indices
@@ -745,7 +753,7 @@ def _predict_topn_scan_sparse(hist, nrcmds, user_block, Wsp, n, npad):
         np.arange(nblocks + 1, dtype=np.int64) * user_block,
         nusers)].astype(np.int32)
     P = _pow2ceil(max(int(np.diff(starts).max()) if nblocks else 1, 1))
-    T = _pow2ceil(max(int(hist.nnz), 1))
+    T = _nnz_bucket(max(int(hist.nnz), 1))
     idx = np.full(T, n, np.int32)
     if hist.nnz:
         idx[:hist.nnz] = hist.indices
@@ -799,7 +807,7 @@ def sparsify_model_device(model: CSR, npad: int | None = None):
     npad = npad if npad is not None else _bucket(n)
     nnz_row = model.row_nnz().astype(np.int64)
     R = _pow2ceil(max(int(nnz_row.max()) if model.nrows else 1, 1))
-    T = _pow2ceil(max(int(model.nnz), 1))
+    T = _nnz_bucket(max(int(model.nnz), 1))
     nrows = model.nrows
     bf16 = os.environ.get("SLIM_PREDICT_WVAL_BF16") == "1"
     key = (npad, R, T, nrows, bf16)

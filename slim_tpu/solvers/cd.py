@@ -766,7 +766,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     from collections import deque
 
     from ..ops.cd_kernel import count_over, pack_flat
-    from ..utils import submit_fetch
+    from ..utils import nnz_bucket, submit_fetch
 
     _pack_broken = []
 
@@ -898,7 +898,9 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 off = np.zeros(B, np.int32)
                 np.cumsum(c[:-1], out=off[1:])
                 T = int(c.sum())
-                Tpad = max(1 << (max(T, 1) - 1).bit_length(), 128)
+                # 1/8-octave bucket: pow2 padded the pack fetch by up to
+                # 2x in d2h bytes right above a power of two
+                Tpad = nnz_bucket(max(T, 1), floor=128)
                 idx16 = int(out[0].shape[1]) <= 65536
                 off_d = jnp.asarray(off) if dev is None \
                     else jax.device_put(off, dev)

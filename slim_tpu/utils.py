@@ -73,6 +73,24 @@ def submit_fetch(*arrs) -> _FetchHandle:
     return _FetchHandle(parts, len(arrs))
 
 
+def nnz_bucket(n: int, floor: int = 8) -> int:
+    """1/8-octave size bucket: next multiple of pow2ceil(n)/8 above n
+    (>= floor).  Flat nnz-sized buffers padded to pure powers of two
+    waste up to 2x transfer bytes right above a power of two (an ML-20M
+    model's 34.5M nnz padded to 67M costs ~200 MB of extra tunnel time
+    per upload); eight sub-buckets per octave cap the padding at 12.5%
+    for a bounded (8x) growth in distinct compiled programs, all
+    persistent-cached.  Results above 1024 are multiples of 256 (so
+    Pallas lane constraints hold)."""
+    m = max(floor, 8)
+    while m < n:
+        m *= 2
+    if m <= 1024:
+        return m
+    step = m >> 3
+    return max(((n + step - 1) // step) * step, floor)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent).
 
