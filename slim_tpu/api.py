@@ -37,11 +37,17 @@ def setup_training_matrix(train: CSR) -> CSR:
 
 
 def learn(train: CSR, cfg: Optional[SlimConfig] = None,
-          imodel: Optional[CSR] = None, gram=None):
+          imodel: Optional[CSR] = None, gram=None,
+          keep_device_model: bool = False):
     """Estimate a SLIM model.  Returns (model CSR, stats dict).
 
     Equivalent of SLIM_Learn (api.c:33-96): setup + dispatch to the CD or
     ADMM solver, with wall-clock phase timers under dbglvl & TIME.
+
+    ``keep_device_model=True`` (CD, single device): ``stats["W_dev"]``
+    carries the dense device-resident model for an immediate
+    ``predict_topn(..., W_dev=...)`` -- the train-then-serve flow skips
+    the ~6 bytes/nnz model re-upload.
     """
     from .utils import enable_compilation_cache
 
@@ -57,7 +63,8 @@ def learn(train: CSR, cfg: Optional[SlimConfig] = None,
 
     def _run():
         if cfg.algo == "cd":
-            return estimate_model_cd(tmat, cfg, imodel=imodel, gram=gram)
+            return estimate_model_cd(tmat, cfg, imodel=imodel, gram=gram,
+                                     keep_device_model=keep_device_model)
         if cfg.algo == "admm":
             return estimate_model_admm(tmat, cfg, imodel=imodel, gram=gram)
         raise ValueError(f"unsupported algo {cfg.algo!r}")
@@ -218,11 +225,20 @@ class SLIM:
         self.nItems = data.nItems
         start = time.time()
         train_mat = data.mat.with_ncols(max(data.mat.ncols, data.nItems))
-        self.model, self.stats = learn(train_mat, cfg)
+        # retain the solved model on device when predict would serve from
+        # the dense device path anyway: train-then-predict skips the
+        # ~6 bytes/nnz model re-upload through the tunnel
+        from .predict import (NATIVE_PREDICT_NPAD,
+                              SPARSE_PREDICT_THRESHOLD, _bucket)
+        npad = _bucket(max(train_mat.ncols, train_mat.infer_ncols().ncols, 1))
+        keep = (cfg.algo == "cd"
+                and NATIVE_PREDICT_NPAD < npad <= SPARSE_PREDICT_THRESHOLD)
+        self.model, self.stats = learn(train_mat, cfg,
+                                       keep_device_model=keep)
         self.id2item = np.array(data.id2item).copy()
         self.item2id = dict(data.item2id) if isinstance(data.item2id, dict) \
             else np.array(data.item2id).copy()
-        self._W_dev = None
+        self._W_dev = self.stats.pop("W_dev", None)
         logger.info("Learning takes %.3f secs.", time.time() - start)
 
     # ------------------------------------------------------------------ #

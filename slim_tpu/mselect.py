@@ -37,18 +37,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _learn_with_gram(train, cfg, imodel, gram, g_replicas=None):
+def _learn_with_gram(train, cfg, imodel, gram, g_replicas=None,
+                     keep_device_model=False):
     if cfg.algo == "cd":
         return estimate_model_cd(train, cfg, imodel=imodel, gram=gram,
-                                 g_replicas=g_replicas)
+                                 g_replicas=g_replicas,
+                                 keep_device_model=keep_device_model)
     return estimate_model_admm(train, cfg, imodel=imodel, gram=gram)
 
 
-def _eval_point(model, train, test, fmarker, nrcmds):
+def _eval_point(model, train, test, fmarker, nrcmds, W_dev=None):
     """Returns (eval record, predict seconds, metric seconds) -- the
-    per-point timing split feeds the warm-sweep attribution log."""
+    per-point timing split feeds the warm-sweep attribution log.
+    ``W_dev``: device-resident dense model retained by the solver
+    (skips the ~220 MB model re-upload per point at ML-20M scale)."""
     t0 = time.perf_counter()
-    ids, _, counts = predict_topn(model, train, nrcmds=nrcmds)
+    ids, _, counts = predict_topn(model, train, nrcmds=nrcmds, W_dev=W_dev)
     t_pred = time.perf_counter() - t0
     t0 = time.perf_counter()
     ev = evaluate_topn(ids, counts, test, fmarker, require_test_items=True)
@@ -95,16 +99,25 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
             "bestl1AR": 0.0, "bestl2AR": 0.0, "bestHRAR": 0.0, "bestARAR": 0.0,
             "best_model_hr": None, "best_model_ar": None}
 
+    # device-model retention pays when the eval predicts on the device
+    # dense path (mid-size catalogues): the solver keeps W in HBM and
+    # the per-point ~220 MB model upload disappears
+    from .predict import NATIVE_PREDICT_NPAD, SPARSE_PREDICT_THRESHOLD
+    keep_dev = (mesh is None and cfg.algo == "cd"
+                and NATIVE_PREDICT_NPAD < npad <= SPARSE_PREDICT_THRESHOLD)
+
     for (l1, l2) in points:
         pcfg = cfg.replace(l1r=float(l1), l2r=float(l2))
         t0 = time.perf_counter()
         imodel = model
         model, stats = _learn_with_gram(train, pcfg, imodel, gram,
-                                        g_replicas=g_replicas)
+                                        g_replicas=g_replicas,
+                                        keep_device_model=keep_dev)
         t_learn = time.perf_counter() - t0
 
         ev, t_pred, t_metric = _eval_point(model, train, test, fmarker,
-                                           cfg.nrcmds)
+                                           cfg.nrcmds,
+                                           W_dev=stats.pop("W_dev", None))
         rec = {"l1r": float(l1), "l2r": float(l2), "nnz": model.nnz,
                "hr": ev.hr, "hr_head": ev.hr_head, "hr_tail": ev.hr_tail,
                "arhr": ev.arhr, "time": t_learn, "time_kind": "per_point",

@@ -149,6 +149,69 @@ def densify_model_device(model: CSR, npad: int):
               jnp.asarray(model.indptr.astype(np.int32)))
 
 
+class DeviceModelPack:
+    """Model retained on device as the solver's flat harvest packs
+    (keep_device_model): flat coordinate ids (item space) + values in
+    target-rank-major run order, ~6 bytes/nnz of HBM -- the retained
+    footprint a dense (npad, npad) W could not afford next to the
+    resident Gram on a 16 GB part.
+
+    ``densify()`` rebuilds the dense W entirely on device (run starts ->
+    searchsorted row recovery -> one scatter), i.e. exactly
+    :func:`densify_model_device` minus its ~6 bytes/nnz model upload
+    through the tunnel (~5 s/point at ML-20M).  Lazy by design: the
+    (npad, npad) buffer only exists while predict needs it, not during
+    the learn.  Rows >= n (rank-padding coordinates the host CSR
+    assembly filters out) may carry solver values; every consumer zeroes
+    them implicitly (user histories are empty beyond n), and densify()
+    masks them anyway so the result equals densify_model(model CSR)
+    bit-for-bit."""
+
+    def __init__(self, vals, idx, run_starts, p_pad, n, npad):
+        self.vals, self.idx = vals, idx          # (Tb,) device, flat
+        self.run_starts = run_starts             # (npad,) host int32
+        self.p_pad = p_pad                       # (npad,) host rank->item
+        self.n, self.npad = n, npad
+        self._W = None
+
+    def densify(self):
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import exec_cache
+
+        if self._W is not None:
+            return self._W
+        npad, n, Tb = self.npad, self.n, int(self.vals.shape[0])
+        key = (npad, Tb)
+        fn = _densify_fns.get(key)
+        if fn is None:
+            @jax.jit
+            def densify(val, idx, rs, p_pad):
+                e = jnp.arange(Tb, dtype=jnp.int32)
+                rank = jnp.searchsorted(rs, e, side="right") \
+                    .astype(jnp.int32) - 1
+                tgt = jnp.take(p_pad, jnp.clip(rank, 0, npad - 1)) \
+                    .astype(jnp.int32)
+                row = idx.astype(jnp.int32)
+                # rank-padding coordinates (row >= n) are dropped, not
+                # just parked: the result must equal the host-CSR
+                # densify exactly (predict parity tests compare all rows)
+                row = jnp.where(row < n, row, npad)
+                return jnp.zeros((npad, npad), jnp.float32).at[
+                    row, tgt].add(val, mode="drop")
+
+            fn = _densify_fns[key] = densify
+        self._W = exec_cache.call(
+            fn, f"pack_densify_n{npad}_t{Tb}",
+            (self.vals, self.idx,
+             jnp.asarray(self.run_starts), jnp.asarray(self.p_pad)), {})
+        return self._W
+
+    def free(self):
+        self.vals = self.idx = self._W = None
+
+
 # above this many items the dense (npad, npad) device W (npad²·4 bytes:
 # 3.3GB at 28672) stops fitting comfortably next to the score blocks in
 # 16GB HBM; switch to the padded-sparse scoring path
@@ -884,6 +947,10 @@ def predict_topn(model: CSR, hist: CSR, nrcmds: int = 10,
 
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
+    if isinstance(W_dev, DeviceModelPack):
+        # solver-retained model: rebuild the dense W on device (no model
+        # upload); a shape mismatch falls back to the upload path
+        W_dev = W_dev.densify() if W_dev.npad == npad else None
     # small-catalogue regime: route unpinned calls to the native host
     # kernel (see NATIVE_PREDICT_NPAD).  Any explicit path choice -- a
     # resident device model, sparse=, scan=, or precision= -- keeps the
@@ -1127,6 +1194,8 @@ def predict_candidate_scores(model: CSR, hist: CSR, cand: np.ndarray,
 
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
+    if isinstance(W_dev, DeviceModelPack):
+        W_dev = W_dev.densify() if W_dev.npad == npad else None
     if sparse is None:
         sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
     use_coo = False
@@ -1311,6 +1380,8 @@ def predict_topn_1vsk(model: CSR, hist: CSR, negitems: np.ndarray,
 
     n = max(model.nrows, model.ncols, hist.ncols)
     npad = _bucket(n)
+    if isinstance(W_dev, DeviceModelPack):
+        W_dev = W_dev.densify() if W_dev.npad == npad else None
     if sparse is None:
         sparse = W_dev is None and npad > SPARSE_PREDICT_THRESHOLD
     use_coo = False

@@ -404,14 +404,116 @@ def _dispatch_with_fallback(run, impl, shape_key=None):
         return run("xla")
 
 
+class _DeviceModelAccum:
+    """Device-resident model retention (keep_device_model): keep the
+    solver's flat harvest packs in HBM instead of a dense W.
+
+    Two earlier cuts OOM'd the 16 GB v5e at ML-20M: retaining the raw
+    per-block solutions (3.3 GB of pieces + ~6.6 GB of end-of-learn
+    assembly transients), then an incremental donated (npad, npad)
+    buffer (3.3 GB STEADY next to the f32 Gram + bf16 G for the whole
+    learn -- the count fetch itself started throwing
+    RESOURCE_EXHAUSTED).  The packs are ~6 bytes/nnz (~0.2 GB at
+    ML-20M), already exist on device (harvest builds them for the d2h
+    fetch), and are target-rank-major -- exactly the layout
+    :class:`slim_tpu.predict.DeviceModelPack` densifies lazily at
+    predict time, when the learn working set is gone.
+
+    ``add`` maps each pack's coordinates to ITEM space on device (a
+    take over (Tpad,), enqueued behind the pack itself); ``finalize``
+    concatenates the flat pieces (nnz-bucketed so mselect points share
+    one densify executable) and computes the host run-start table."""
+
+    def __init__(self, npad, n, p):
+        import jax.numpy as jnp
+
+        self.npad, self.n = npad, n
+        self.ok = True
+        self._parts = {}     # blk -> (Tpad, c_host, fv, fi_item)
+        self._p_pad = np.concatenate(
+            [p.astype(np.int64), np.arange(n, npad, dtype=np.int64)]) \
+            .astype(np.uint16 if npad <= 65536 else np.int32)
+        self._p_pad_dev = jnp.asarray(self._p_pad)
+
+    def add(self, blk, c, fv, fi, S_dev):
+        """Retain block blk's pack: values (Tpad,), coords (Tpad,) in
+        compact (S_dev not None) or rank space, c = per-target counts."""
+        import jax.numpy as jnp
+
+        if not self.ok:
+            return
+        try:
+            rank = jnp.take(S_dev, fi) if S_dev is not None else fi
+            self._parts[blk] = (int(fv.shape[0]), c,
+                                fv, jnp.take(self._p_pad_dev, rank))
+        except Exception as e:
+            logger.warning("device-model retention dropped at block %d "
+                           "(%s)", blk, str(e).splitlines()[0][:120])
+            self.drop()
+
+    def drop(self):
+        self.ok = False
+        self._parts = {}
+
+    def finalize(self, nblocks, B):
+        """Returns the lazily-densifiable DeviceModelPack, or None."""
+        import jax.numpy as jnp
+
+        from ..predict import DeviceModelPack
+        from ..utils import nnz_bucket
+
+        if not self.ok or len(self._parts) != nblocks:
+            return None
+        try:
+            total = sum(self._parts[b][0] for b in range(nblocks))
+            Tb = nnz_bucket(max(total, 1), floor=128)
+            rs = np.full(self.npad, total, np.int32)
+            base = 0
+            vs, ids = [], []
+            for blk in range(nblocks):
+                Tpad, c, fv, fi = self._parts[blk]
+                r0 = blk * B
+                nr = min(B, self.npad - r0)
+                if nr > 0:
+                    off = np.zeros(B, np.int32)
+                    np.cumsum(c[:-1], out=off[1:])
+                    rs[r0:r0 + nr] = base + off[:nr]
+                base += Tpad
+                vs.append(fv)
+                ids.append(fi)
+            if Tb > total:
+                vs.append(jnp.zeros(Tb - total, vs[0].dtype))
+                ids.append(jnp.zeros(Tb - total, ids[0].dtype))
+            pack = DeviceModelPack(jnp.concatenate(vs),
+                                   jnp.concatenate(ids),
+                                   rs, self._p_pad, self.n, self.npad)
+            self._parts = {}
+            return pack
+        except Exception as e:
+            logger.warning("device-model retention unavailable (%s); "
+                           "predict will re-upload the model",
+                           str(e).splitlines()[0][:120])
+            self.drop()
+            return None
+
+
 def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
-                      gram=None, g_replicas=None):
+                      gram=None, g_replicas=None, keep_device_model=False):
     """Estimate the SLIM/FSLIM model with batched coordinate descent.
 
     Returns ``(model, stats)`` where model is a CSR with rows = rated item,
     cols = target item (same orientation as the reference model,
     estimate.c:570-593) and stats carries loss/objective/nnz totals
     (printed by the reference at estimate.c:552-555).
+
+    ``keep_device_model=True`` (single-device, no checkpoint restore):
+    the flat harvest packs (~6 bytes/nnz of HBM) are retained and
+    returned as ``stats["W_dev"]``, a lazily-densifiable
+    :class:`slim_tpu.predict.DeviceModelPack` ready for
+    ``predict_topn(..., W_dev=...)`` -- skipping the ~200 MB model
+    re-upload an mselect evaluation or a train-then-serve flow otherwise
+    pays through the tunnel.  Falls back silently (no ``W_dev`` key)
+    when unavailable.
 
     ``g_replicas`` (multi-chip mode): per-device copies of the Gram in
     ORIGINAL item space (e.g. the addressable shards of a replicated
@@ -616,44 +718,51 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     if use_warm and on_tpu and B % 256 == 0 \
             and imodel_csc.nnz < (1 << 31) \
             and os.environ.get("SLIM_WARM_DENSIFY", "1") != "0":
-        from ..ops.pallas_gram import densify_supported
-
         _wm_nnz_col = np.diff(imodel_csc.indptr).astype(np.int64)
-        _wm_wmax = int(_wm_nnz_col.max()) if _wm_nnz_col.size else 0
-        _wm_W = max(32, 1 << max(_wm_wmax - 1, 0).bit_length())
-        if densify_supported(_wm_W, 256, npad):
-            _warm_dev = (
-                jnp.asarray(posmap[imodel_csc.indices].astype(
-                    np.uint16 if npad <= 65536 else np.int32)),
-                jnp.asarray(imodel_csc.values().astype(np.float32)))
+        _warm_dev = (
+            jnp.asarray(posmap[imodel_csc.indices].astype(
+                np.uint16 if npad <= 65536 else np.int32)),
+            jnp.asarray(imodel_csc.values().astype(np.float32)))
 
     _warm_fns = {}
 
-    def _warm_densify(idxs, vals_d, rs, rl):
+    def _warm_densify(idxs, vals_d, rs, rl, W):
         from ..ops.pallas_gram import gathered_densifyT
 
-        fn = _warm_fns.get(_wm_W)
+        fn = _warm_fns.get(W)
         if fn is None:
             import jax as _jax
 
             @_jax.jit
             def warm(idx, val, rs, rl):
-                return gathered_densifyT(idx, val, rs, rl, _wm_W, npad,
+                return gathered_densifyT(idx, val, rs, rl, W, npad,
                                          False, jnp.float32).T
 
-            fn = _warm_fns[_wm_W] = warm
-        return exec_cache.call(fn, f"warm_densify_w{_wm_W}",
+            fn = _warm_fns[W] = warm
+        return exec_cache.call(fn, f"warm_densify_w{W}",
                                (idxs, vals_d, rs, rl), {})
 
     def warm_x0(r0, nJ):
         if _warm_dev is not None:
+            from ..ops.pallas_gram import densify_supported
+
             cols = p[r0:r0 + nJ]
-            rs = np.zeros(B, np.int32)
-            rl = np.zeros(B, np.int32)
-            rs[:nJ] = imodel_csc.indptr[cols].astype(np.int32)
-            rl[:nJ] = _wm_nnz_col[cols].astype(np.int32)
-            return _warm_densify(_warm_dev[0], _warm_dev[1],
-                                 jnp.asarray(rs), jnp.asarray(rl))
+            rl_b = _wm_nnz_col[cols]
+            # per-BLOCK entry width (pow2 of this block's longest model
+            # column, not the global max): the hardware profile showed a
+            # global-W densify costing 0.7 s/block (18.8 s of a warm
+            # ML-20M learn) because one power-user column inflated every
+            # block's scan; rank-consecutive blocks are nnz-correlated,
+            # so per-block widths stay tight for the tail
+            wmax = int(rl_b.max()) if rl_b.size else 0
+            W = max(32, 1 << max(wmax - 1, 0).bit_length())
+            if densify_supported(W, 256, npad):
+                rs = np.zeros(B, np.int32)
+                rl = np.zeros(B, np.int32)
+                rs[:nJ] = imodel_csc.indptr[cols].astype(np.int32)
+                rl[:nJ] = rl_b.astype(np.int32)
+                return _warm_densify(_warm_dev[0], _warm_dev[1],
+                                     jnp.asarray(rs), jnp.asarray(rl), W)
         x0_host = np.zeros((B, npad), dtype=np.float32)
         for b in range(nJ):
             j = p[r0 + b]  # original item of this rank
@@ -797,6 +906,13 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     total_niters = 0
     coord_ids, target_ids, vals = [], [], []
 
+    # device-model retention (see docstring): checkpoint-restored blocks
+    # have no device copy, multi-chip blocks live on different devices --
+    # both disable it
+    keep_dev = bool(keep_device_model) and g_all is None and ckpt is None
+    dev_acc = _DeviceModelAccum(npad, n, p) if keep_dev else None
+    _sweeps = [0]   # Σ per-block max(niters): the device sweep-count proxy
+
     # hoisted bf16(-tiled) G copy for the v4 kernel, built once per
     # (replica, supergroup size) instead of inside every launch (the
     # in-launch build costs ~17 ms of HBM traffic each; see
@@ -905,6 +1021,10 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 off_d = jnp.asarray(off) if dev is None \
                     else jax.device_put(off, dev)
                 fv, fi = run_pack(out[0], off_d, Tpad, idx16)
+                if dev_acc is not None:
+                    dev_acc.add(blk, c, fv, fi,
+                                union_S[blk][1] if S_h is not None
+                                else None)
                 by_T.setdefault((Tpad, idx16), []).append(
                     (k, blk, nJ, S_h, c, T, fv, fi))
 
@@ -942,6 +1062,8 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
                 blk_err = float(rnorm_h.sum())
                 blk_obj = float(obj_h.sum())
                 blk_nit = int(niters_h.sum())
+                # launch sweep count ~ the slowest column's live sweeps
+                _sweeps[0] += int(niters_h.max()) if nJ else 0
 
                 if ckpt is not None:
                     ckpt.save(blk, blk_coord, blk_target, blk_vals,
@@ -1025,7 +1147,12 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         "ffrac": total_err / total_obj if total_obj else 0.0,
         "nnz": model.nnz,
         "niters": total_niters,
+        "sweeps": _sweeps[0],
     }
+    if dev_acc is not None:
+        W_dev = dev_acc.finalize(nblocks, B)
+        if W_dev is not None:
+            stats["W_dev"] = W_dev
     _mark("assembly")
     if dbg(cfg, SLIM_DBG_TIME):
         prev = 0.0

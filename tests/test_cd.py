@@ -310,3 +310,41 @@ def test_variant_statics_rekey_exec_cache():
     k2 = exec_cache._make_key("e", (a,), {"impl": "pallas_large",
                                           "variant": "v3"})
     assert k1 != k2
+
+
+def test_keep_device_model_matches_assembled_csr():
+    """keep_device_model retains the flat harvest packs on device and
+    densifies lazily at predict; the densified W must equal densify of
+    the assembled CSR exactly (same EPSILON threshold, same mapping back
+    to item space, rank-padding coordinates dropped)."""
+    import numpy as np
+
+    from slim_tpu.predict import DeviceModelPack, densify_model
+
+    train = random_csr(None, 60, 37, density=0.25, seed=5)
+    cfg = SlimConfig(l1r=0.3, l2r=0.5, optTol=1e-9, block_size=16)
+    model, stats = estimate_model_cd(train.infer_ncols(), cfg,
+                                     keep_device_model=True)
+    pack = stats.get("W_dev")
+    assert isinstance(pack, DeviceModelPack)
+    ref = np.asarray(densify_model(model, npad=pack.npad))
+    np.testing.assert_allclose(np.asarray(pack.densify()), ref,
+                               rtol=0, atol=1e-6)
+
+
+def test_keep_device_model_compact_space():
+    """Retention through the compact-union dispatch path (K < npad)."""
+    import numpy as np
+
+    from slim_tpu.predict import DeviceModelPack, densify_model
+
+    train = random_csr(None, 200, 300, density=0.05, seed=11)
+    cfg = SlimConfig(l1r=1.0, l2r=1.0, optTol=1e-9, block_size=32,
+                     compact_threshold=64)
+    model, stats = estimate_model_cd(train.infer_ncols(), cfg,
+                                     keep_device_model=True)
+    pack = stats.get("W_dev")
+    assert isinstance(pack, DeviceModelPack)
+    ref = np.asarray(densify_model(model, npad=pack.npad))
+    np.testing.assert_allclose(np.asarray(pack.densify()), ref,
+                               rtol=0, atol=1e-6)
