@@ -468,6 +468,7 @@ class _DeviceModelAccum:
             total = sum(self._parts[b][0] for b in range(nblocks))
             Tb = nnz_bucket(max(total, 1), floor=128)
             rs = np.full(self.npad, total, np.int32)
+            rl = np.zeros(self.npad, np.int32)
             base = 0
             vs, ids = [], []
             for blk in range(nblocks):
@@ -478,6 +479,7 @@ class _DeviceModelAccum:
                     off = np.zeros(B, np.int32)
                     np.cumsum(c[:-1], out=off[1:])
                     rs[r0:r0 + nr] = base + off[:nr]
+                    rl[r0:r0 + nr] = c[:nr]
                 base += Tpad
                 vs.append(fv)
                 ids.append(fi)
@@ -486,7 +488,7 @@ class _DeviceModelAccum:
                 ids.append(jnp.zeros(Tb - total, ids[0].dtype))
             pack = DeviceModelPack(jnp.concatenate(vs),
                                    jnp.concatenate(ids),
-                                   rs, self._p_pad, self.n, self.npad)
+                                   rs, rl, self._p_pad, self.n, self.npad)
             self._parts = {}
             return pack
         except Exception as e:
