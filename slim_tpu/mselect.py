@@ -38,11 +38,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _learn_with_gram(train, cfg, imodel, gram, g_replicas=None,
-                     keep_device_model=False):
+                     keep_device_model=False, warm_pack=None):
     if cfg.algo == "cd":
         return estimate_model_cd(train, cfg, imodel=imodel, gram=gram,
                                  g_replicas=g_replicas,
-                                 keep_device_model=keep_device_model)
+                                 keep_device_model=keep_device_model,
+                                 warm_pack=warm_pack)
     return estimate_model_admm(train, cfg, imodel=imodel, gram=gram)
 
 
@@ -106,18 +107,25 @@ def mselect_core(train: CSR, test: CSR, cfg: SlimConfig, points,
     keep_dev = (mesh is None and cfg.algo == "cd"
                 and NATIVE_PREDICT_NPAD < npad <= SPARSE_PREDICT_THRESHOLD)
 
+    pack = None
     for (l1, l2) in points:
         pcfg = cfg.replace(l1r=float(l1), l2r=float(l2))
         t0 = time.perf_counter()
         imodel = model
         model, stats = _learn_with_gram(train, pcfg, imodel, gram,
                                         g_replicas=g_replicas,
-                                        keep_device_model=keep_dev)
+                                        keep_device_model=keep_dev,
+                                        warm_pack=pack)
         t_learn = time.perf_counter() - t0
 
+        # the retained pack serves this point's evaluation AND (rank
+        # space is shared across points) warm-starts the next learn --
+        # only its dense form is dropped between points
+        pack = stats.pop("W_dev", None)
         ev, t_pred, t_metric = _eval_point(model, train, test, fmarker,
-                                           cfg.nrcmds,
-                                           W_dev=stats.pop("W_dev", None))
+                                           cfg.nrcmds, W_dev=pack)
+        if pack is not None:
+            pack.free_dense()
         rec = {"l1r": float(l1), "l2r": float(l2), "nnz": model.nnz,
                "hr": ev.hr, "hr_head": ev.hr_head, "hr_tail": ev.hr_tail,
                "arhr": ev.arhr, "time": t_learn, "time_kind": "per_point",

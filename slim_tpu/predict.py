@@ -151,27 +151,32 @@ def densify_model_device(model: CSR, npad: int):
 
 class DeviceModelPack:
     """Model retained on device as the solver's flat harvest packs
-    (keep_device_model): flat coordinate ids (item space) + values in
-    target-rank-major run order, ~6 bytes/nnz of HBM -- the retained
-    footprint a dense (npad, npad) W could not afford next to the
-    resident Gram on a 16 GB part.
+    (keep_device_model): flat coordinate ids (RANK space -- the solver's
+    frequency permutation) + values in target-rank-major run order,
+    ~6 bytes/nnz of HBM -- the retained footprint a dense (npad, npad)
+    W could not afford next to the resident Gram on a 16 GB part.
 
-    ``densify()`` rebuilds the dense W entirely on device (run starts ->
-    searchsorted row recovery -> one scatter), i.e. exactly
-    :func:`densify_model_device` minus its ~6 bytes/nnz model upload
-    through the tunnel (~5 s/point at ML-20M).  Lazy by design: the
-    (npad, npad) buffer only exists while predict needs it, not during
-    the learn.  Rows >= n (rank-padding coordinates the host CSR
-    assembly filters out) may carry solver values; every consumer zeroes
-    them implicitly (user histories are empty beyond n), and densify()
-    masks them anyway so the result equals densify_model(model CSR)
+    Rank space is deliberate: the same train matrix always produces the
+    same permutation, so a later warm-started learn (mselect's next grid
+    point) can densify x0 blocks STRAIGHT from this pack -- no host CSC
+    build, no ~150-200 MB model re-upload (solvers/cd.warm_x0).
+
+    ``densify()`` rebuilds the dense item-space W entirely on device
+    (slab densify / scatter + the posmap double gather), i.e. exactly
+    :func:`densify_model_device` minus its model upload through the
+    tunnel (~5 s/point at ML-20M).  Lazy by design: the (npad, npad)
+    buffer only exists while predict needs it, not during the learn.
+    Rank-padding coordinates (>= n, filtered from the host CSR by
+    assembly) are dropped so the result equals densify_model(model CSR)
     bit-for-bit."""
 
-    def __init__(self, vals, idx, run_starts, run_lens, p_pad, n, npad):
+    def __init__(self, vals, idx, run_starts, run_lens, p_pad,
+                 posmap_pad, n, npad):
         self.vals, self.idx = vals, idx          # (Tb,) device, flat
         self.run_starts = run_starts             # (npad,) host int32
         self.run_lens = run_lens                 # (npad,) host int32 exact
         self.p_pad = p_pad                       # (npad,) host rank->item
+        self.posmap_pad = posmap_pad             # (npad,) host item->rank
         self.n, self.npad = n, npad
         self._W = None
 
@@ -193,13 +198,13 @@ class DeviceModelPack:
         self._W = self._densify_scatter()
         return self._W
 
-    def _densify_pallas(self):
+    def _densify_pallas(self, interpret=False):
         """Slab densify through ops/pallas_gram.gathered_densifyT: the
         pack's per-target runs are exactly the kernel's (rs, rl)
         contract, coordinates are already item-space (= the output's
         dense axis), so the (npad, RT) slabs concatenate into
-        W[:, rank_order] and one column gather lands item space.  ~2-3x
-        the XLA scatter (6.6M updates/s = ~5 s at ML-20M's 34.5M nnz)."""
+        W[:, rank_order] and one column gather lands item space.  ~2x
+        the XLA scatter (measured 3.5 vs 6.5 s at ML-20M's 34.5M nnz)."""
         import jax.numpy as jnp
 
         from .ops import exec_cache
@@ -238,11 +243,18 @@ class DeviceModelPack:
             @jax.jit
             def densify(idx, val, rs, rl, _w=w):
                 # n_valid drops rank-padding coordinates (the host CSR
-                # assembly's coord < n filter)
+                # assembly's coord < n filter; item<n <=> rank<n)
                 return gathered_densifyT(idx, val, rs, rl, _w, npad,
-                                         False, jnp.float32, n_valid=n)
+                                         False, jnp.float32, n_valid=n,
+                                         interpret=interpret)
 
             fns[w] = densify
+        # map the flat rank coords to item space ONCE over (Tb,) (~70 MB
+        # at ML-20M) so each slab's dense axis is already item rows and
+        # only the cheap column gather remains -- mapping the (npad,
+        # npad) result instead needs a double gather whose two extra
+        # 3.3 GB transients OOM'd the 16 GB part next to the Gram
+        idx_item = jnp.take(jnp.asarray(self.p_pad), self.idx)
         parts = [None] * len(slabs)
         for i, (r0, w, npass) in enumerate(slabs):
             rs_s = self.run_starts[r0:r0 + RT].astype(np.int64)
@@ -251,17 +263,18 @@ class DeviceModelPack:
             for k in range(npass):
                 rs_k = (rs_s + k * w).astype(np.int32)
                 rl_k = np.clip(rl_s - k * w, 0, w).astype(np.int32)
-                out = exec_cache.call(
+                args = (idx_item, self.vals, jnp.asarray(rs_k),
+                        jnp.asarray(rl_k))
+                out = fns[w](*args) if interpret else exec_cache.call(
                     fns[w], f"pack_densify_slab_w{w}_n{npad}_v{n}",
-                    (self.idx, self.vals, jnp.asarray(rs_k),
-                     jnp.asarray(rl_k)), {})
+                    args, {})
                 acc = out if acc is None else acc + out
             parts[i] = acc
         M = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        # M[:, rank] -> W[:, item]: columns follow target rank order
-        ranks = np.empty(npad, np.int32)
-        ranks[self.p_pad.astype(np.int64)] = np.arange(npad, dtype=np.int32)
-        return jnp.take(M, jnp.asarray(ranks), axis=1)
+        parts = idx_item = None   # let the slab pieces free behind concat
+        # M[:, rank_target] -> W[:, item]: one column gather
+        return jnp.take(M, jnp.asarray(self.posmap_pad.astype(np.int32)),
+                        axis=1)
 
     def _densify_scatter(self):
         """XLA scatter fallback (run-start table -> searchsorted row
@@ -281,19 +294,31 @@ class DeviceModelPack:
                     .astype(jnp.int32) - 1
                 tgt = jnp.take(p_pad, jnp.clip(rank, 0, npad - 1)) \
                     .astype(jnp.int32)
-                row = idx.astype(jnp.int32)
-                # rank-padding coordinates (row >= n) are dropped, not
-                # just parked: the result must equal the host-CSR
-                # densify exactly (predict parity tests compare all rows)
-                row = jnp.where(row < n, row, npad)
+                # coord ranks map to item rows through the permutation;
+                # rank-padding coordinates (>= n, filtered from the host
+                # CSR by assembly) are dropped, not just parked: the
+                # result must equal the host-CSR densify exactly
+                row = jnp.take(p_pad,
+                               jnp.clip(idx.astype(jnp.int32), 0,
+                                        npad - 1)).astype(jnp.int32)
+                row = jnp.where(idx.astype(jnp.int32) < n, row, npad)
                 return jnp.zeros((npad, npad), jnp.float32).at[
                     row, tgt].add(val, mode="drop")
 
             fn = _densify_fns[key] = densify
+        # name bumped when idx switched to rank space -- a stale cached
+        # executable would scatter rows unpermuted
         return exec_cache.call(
-            fn, f"pack_densify_n{npad}_t{Tb}",
+            fn, f"pack_densify2_n{npad}_t{Tb}",
             (self.vals, self.idx,
              jnp.asarray(self.run_starts), jnp.asarray(self.p_pad)), {})
+
+    def free_dense(self):
+        """Drop the cached dense W (3.3 GB at ML-20M) while keeping the
+        flat pack -- mselect does this after each point's evaluation so
+        the pack can warm-start the next learn without the dense buffer
+        squatting in HBM."""
+        self._W = None
 
     def free(self):
         self.vals = self.idx = self._W = None

@@ -419,21 +419,22 @@ class _DeviceModelAccum:
     :class:`slim_tpu.predict.DeviceModelPack` densifies lazily at
     predict time, when the learn working set is gone.
 
-    ``add`` maps each pack's coordinates to ITEM space on device (a
-    take over (Tpad,), enqueued behind the pack itself); ``finalize``
-    concatenates the flat pieces (nnz-bucketed so mselect points share
-    one densify executable) and computes the host run-start table."""
+    Coordinates are kept in RANK space (compact ids inflated through S
+    on device) so the next warm-started learn over the same train matrix
+    can densify x0 straight from the pack; ``finalize`` concatenates the
+    flat pieces (nnz-bucketed so mselect points share one densify
+    executable) and computes the host run-start table."""
 
-    def __init__(self, npad, n, p):
-        import jax.numpy as jnp
-
+    def __init__(self, npad, n, p, posmap):
         self.npad, self.n = npad, n
         self.ok = True
-        self._parts = {}     # blk -> (Tpad, c_host, fv, fi_item)
+        self._parts = {}     # blk -> (Tpad, c_host, fv, fi_rank)
         self._p_pad = np.concatenate(
             [p.astype(np.int64), np.arange(n, npad, dtype=np.int64)]) \
             .astype(np.uint16 if npad <= 65536 else np.int32)
-        self._p_pad_dev = jnp.asarray(self._p_pad)
+        self._posmap_pad = np.concatenate(
+            [posmap.astype(np.int64), np.arange(n, npad, dtype=np.int64)]) \
+            .astype(np.int32)
 
     def add(self, blk, c, fv, fi, S_dev):
         """Retain block blk's pack: values (Tpad,), coords (Tpad,) in
@@ -443,9 +444,9 @@ class _DeviceModelAccum:
         if not self.ok:
             return
         try:
-            rank = jnp.take(S_dev, fi) if S_dev is not None else fi
-            self._parts[blk] = (int(fv.shape[0]), c,
-                                fv, jnp.take(self._p_pad_dev, rank))
+            rank = jnp.take(S_dev, fi).astype(fi.dtype) \
+                if S_dev is not None else fi
+            self._parts[blk] = (int(fv.shape[0]), c, fv, rank)
         except Exception as e:
             logger.warning("device-model retention dropped at block %d "
                            "(%s)", blk, str(e).splitlines()[0][:120])
@@ -488,7 +489,8 @@ class _DeviceModelAccum:
                 ids.append(jnp.zeros(Tb - total, ids[0].dtype))
             pack = DeviceModelPack(jnp.concatenate(vs),
                                    jnp.concatenate(ids),
-                                   rs, rl, self._p_pad, self.n, self.npad)
+                                   rs, rl, self._p_pad,
+                                   self._posmap_pad, self.n, self.npad)
             self._parts = {}
             return pack
         except Exception as e:
@@ -500,7 +502,8 @@ class _DeviceModelAccum:
 
 
 def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
-                      gram=None, g_replicas=None, keep_device_model=False):
+                      gram=None, g_replicas=None, keep_device_model=False,
+                      warm_pack=None):
     """Estimate the SLIM/FSLIM model with batched coordinate descent.
 
     Returns ``(model, stats)`` where model is a CSR with rows = rated item,
@@ -608,7 +611,26 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # FSLIM ignores the warm start (the active-flag handshake in
     # estimate.c:455-463 only engages for the screening path).
     use_warm = imodel is not None and cfg.mtype in ("slim", "oslim")
-    imodel_csc = imodel.transpose() if use_warm else None
+    # a retained pack from the previous learn over the SAME train matrix
+    # (mselect's shared permutation) replaces both the host CSC build and
+    # the ~150-200MB model re-upload -- the x0 densify reads the pack's
+    # runs already sitting in HBM
+    import jax
+
+    _wp = warm_pack if (use_warm and warm_pack is not None
+                        and jax.devices()[0].platform not in ("cpu", "gpu")
+                        and getattr(warm_pack, "npad", None) == npad
+                        and warm_pack.n == n
+                        and np.array_equal(
+                            warm_pack.posmap_pad[:n], posmap)) else None
+    _imodel_csc = [None]
+
+    def imodel_csc_get():
+        # lazy: the CSC build (a 25-35M entry host sort at ML-20M) is
+        # only paid when a pack-free path actually touches it
+        if _imodel_csc[0] is None and use_warm:
+            _imodel_csc[0] = imodel.transpose()
+        return _imodel_csc[0]
 
     fslim_nnbrs = cfg.nnbrs if cfg.mtype in ("fslim", "ofslim") else 0
 
@@ -717,37 +739,54 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # ONCE as flat CSC indices+values and each block's x0 densifies on
     # device through the Pallas kernel.
     _warm_dev = None
-    if use_warm and on_tpu and B % 256 == 0 \
-            and imodel_csc.nnz < (1 << 31) \
-            and os.environ.get("SLIM_WARM_DENSIFY", "1") != "0":
-        _wm_nnz_col = np.diff(imodel_csc.indptr).astype(np.int64)
+    if use_warm and on_tpu and B % 256 == 0 and _wp is None \
+            and os.environ.get("SLIM_WARM_DENSIFY", "1") != "0" \
+            and imodel_csc_get().nnz < (1 << 31):
+        _wm_nnz_col = np.diff(imodel_csc_get().indptr).astype(np.int64)
         _warm_dev = (
-            jnp.asarray(posmap[imodel_csc.indices].astype(
+            jnp.asarray(posmap[imodel_csc_get().indices].astype(
                 np.uint16 if npad <= 65536 else np.int32)),
-            jnp.asarray(imodel_csc.values().astype(np.float32)))
+            jnp.asarray(imodel_csc_get().values().astype(np.float32)))
 
     _warm_fns = {}
 
-    def _warm_densify(idxs, vals_d, rs, rl, W):
+    def _warm_densify(idxs, vals_d, rs, rl, W, nv=None):
         from ..ops.pallas_gram import gathered_densifyT
 
-        fn = _warm_fns.get(W)
+        fn = _warm_fns.get((W, nv))
         if fn is None:
             import jax as _jax
 
             @_jax.jit
             def warm(idx, val, rs, rl):
                 return gathered_densifyT(idx, val, rs, rl, W, npad,
-                                         False, jnp.float32).T
+                                         False, jnp.float32,
+                                         n_valid=nv).T
 
-            fn = _warm_fns[W] = warm
-        return exec_cache.call(fn, f"warm_densify_w{W}",
+            fn = _warm_fns[(W, nv)] = warm
+        return exec_cache.call(fn, f"warm_densify_w{W}_v{nv or 0}",
                                (idxs, vals_d, rs, rl), {})
 
     def warm_x0(r0, nJ):
-        if _warm_dev is not None:
-            from ..ops.pallas_gram import densify_supported
+        from ..ops.pallas_gram import densify_supported
 
+        if _wp is not None and os.environ.get("SLIM_WARM_DENSIFY",
+                                              "1") != "0":
+            # previous point's pack: runs are already rank-ordered, so
+            # this block's x0 columns are run slices [r0, r0+nJ) --
+            # nothing crosses the tunnel.  n_valid drops rank-padding
+            # coordinates (the CSC path never has them)
+            rl_b = _wp.run_lens[r0:r0 + nJ].astype(np.int64)
+            wmax = int(rl_b.max()) if rl_b.size else 0
+            W = max(32, 1 << max(wmax - 1, 0).bit_length())
+            if densify_supported(W, 256, npad):
+                rs = np.zeros(B, np.int32)
+                rl = np.zeros(B, np.int32)
+                rs[:nJ] = _wp.run_starts[r0:r0 + nJ]
+                rl[:nJ] = rl_b.astype(np.int32)
+                return _warm_densify(_wp.idx, _wp.vals, jnp.asarray(rs),
+                                     jnp.asarray(rl), W, nv=n)
+        if _warm_dev is not None:
             cols = p[r0:r0 + nJ]
             rl_b = _wm_nnz_col[cols]
             # per-BLOCK entry width (pow2 of this block's longest model
@@ -761,10 +800,11 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             if densify_supported(W, 256, npad):
                 rs = np.zeros(B, np.int32)
                 rl = np.zeros(B, np.int32)
-                rs[:nJ] = imodel_csc.indptr[cols].astype(np.int32)
+                rs[:nJ] = imodel_csc_get().indptr[cols].astype(np.int32)
                 rl[:nJ] = rl_b.astype(np.int32)
                 return _warm_densify(_warm_dev[0], _warm_dev[1],
                                      jnp.asarray(rs), jnp.asarray(rl), W)
+        imodel_csc = imodel_csc_get()
         x0_host = np.zeros((B, npad), dtype=np.float32)
         for b in range(nJ):
             j = p[r0 + b]  # original item of this rank
@@ -912,7 +952,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
     # have no device copy, multi-chip blocks live on different devices --
     # both disable it
     keep_dev = bool(keep_device_model) and g_all is None and ckpt is None
-    dev_acc = _DeviceModelAccum(npad, n, p) if keep_dev else None
+    dev_acc = _DeviceModelAccum(npad, n, p, posmap) if keep_dev else None
     _sweeps = [0]   # Σ per-block max(niters): the device sweep-count proxy
 
     # hoisted bf16(-tiled) G copy for the v4 kernel, built once per

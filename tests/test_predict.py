@@ -487,3 +487,45 @@ def test_predict_densify_scan_parity_binary(rng):
                                     interpret=True)
     np.testing.assert_array_equal(got[2], ref[2])
     np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-6)
+
+
+def test_pack_densify_pallas_multipass_parity(rng, monkeypatch):
+    """DeviceModelPack's Pallas slab densify (interpret mode) must equal
+    the scatter path, including the multi-pass windowing that covers
+    runs longer than the width cap (power targets at ML-20M scale)."""
+    import jax.numpy as jnp
+
+    import slim_tpu.predict as P
+
+    npad, n = 256, 250
+    rs = np.zeros(npad, np.int32)
+    rl = np.zeros(npad, np.int32)
+    lens = rng.integers(0, 12, npad)
+    lens[3] = 100          # long run -> multiple passes at wcap=32
+    lens[n:] = rng.integers(0, 4, npad - n)  # rank-padding runs
+    ids, vals = [], []
+    pos = 0
+    for r in range(npad):
+        rs[r], rl[r] = pos, lens[r]
+        c = rng.choice(npad, size=lens[r], replace=False).astype(np.int64)
+        ids.append(c)
+        vals.append(rng.normal(size=lens[r]).astype(np.float32))
+        pos += lens[r]
+    total = pos
+    Tb = total + 7          # unaligned tail like the nnz bucket pad
+    idx = np.zeros(Tb, np.uint16)
+    val = np.zeros(Tb, np.float32)
+    idx[:total] = np.concatenate(ids).astype(np.uint16)
+    val[:total] = np.concatenate(vals)
+    p = rng.permutation(n).astype(np.int64)
+    p_pad = np.concatenate([p, np.arange(n, npad)]).astype(np.uint16)
+    posmap_pad = np.empty(npad, np.int32)
+    posmap_pad[p_pad.astype(np.int64)] = np.arange(npad, dtype=np.int32)
+
+    pack = P.DeviceModelPack(jnp.asarray(val), jnp.asarray(idx),
+                             rs, rl, p_pad, posmap_pad, n, npad)
+    monkeypatch.setattr(P, "PREDICT_DENSIFY_WCAP", 32)
+    got = np.asarray(pack._densify_pallas(interpret=True))
+    ref = np.asarray(pack._densify_scatter())
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+    assert np.abs(ref).sum() > 0
