@@ -826,6 +826,18 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         if blk not in union_S_host and _s_resolver:
             _s_resolver.pop()()
         return union_S_host[blk]
+    def union_K(cnt):
+        K = min(bucket_npad(max(int(cnt), 1)), npad)
+        # near-full unions solve full-width: the compact path gathers a
+        # (K, npad) row slice + (K, K) sub-Gram INSIDE the launch (~5-6
+        # GB of workspace at K=24576/npad=28672) for a sweep-cost saving
+        # of only 1-(K/npad)^2 -- above the fraction the saving cannot
+        # pay for the copies, and a grid point whose screen yields
+        # several such blocks OOMs a 16 GB part (observed: ML-20M
+        # mselect at l1r=4, unions 20480:1 24576:4 28672:22)
+        frac = float(os.environ.get("SLIM_COMPACT_FRAC", "0.75"))
+        return npad if K > frac * npad else K
+
     if use_compact and fslim_nnbrs > 0:
         j_all = np.stack([block_meta(blk)[2] for blk in range(nblocks)])
         S_all, counts = block_union_masks_batched(
@@ -836,7 +848,7 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
         # and feeds the harvest's compact->rank index mapping
         S_host = np.asarray(S_all)
         for blk in range(nblocks):
-            K = min(bucket_npad(max(int(counts_host[blk]), 1)), npad)
+            K = union_K(counts_host[blk])
             union_S[blk] = (K, jnp.asarray(S_host[blk, :K])
                             if g_all is not None else S_all[blk, :K])
             union_S_host[blk] = S_host[blk, :K]
@@ -863,14 +875,14 @@ def estimate_model_cd(train: CSR, cfg: SlimConfig, imodel: CSR | None = None,
             # any replica's device, so route through the host as before
             s_all_h = np.asarray(s_dev)
             for blk in range(nblocks):
-                K = min(bucket_npad(max(int(counts_h[blk]), 1)), npad)
+                K = union_K(counts_h[blk])
                 union_S[blk] = (K, jnp.asarray(s_all_h[blk, :K]))
                 union_S_host[blk] = s_all_h[blk, :K]
             need = []
         else:
             need = []
             for blk in range(nblocks):
-                K = min(bucket_npad(max(int(counts_h[blk]), 1)), npad)
+                K = union_K(counts_h[blk])
                 union_S[blk] = (K, s_dev[blk, :K])
                 if K < npad:
                     need.append(blk)
