@@ -43,7 +43,8 @@ def _pack_kernel(ngr, Tpad, eps,
                  x_ref,              # (RB*ngr, GR) row-group tiles
                  vals_ref,           # (Tpad//GR, GR) f32 out (whole)
                  idx_ref,            # (Tpad//GR, GR) f32 out (whole)
-                 gp_ref):            # (ngr, GR) f32 scratch: col0=cnt col1=pfx
+                 gp_ref,             # (ngr, GR) f32 scratch: col0=cnt col1=pfx
+                 rank_ref):          # (ngr, GR) f32 scratch: in-group ranks
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -74,6 +75,11 @@ def _pack_kernel(ngr, Tpad, eps,
                       precision=jax.lax.Precision.HIGHEST)  # exclusive
         gp_ref[:, 0:1] = gc
         gp_ref[:, 1:2] = pfx
+        # all groups' in-group ranks in ONE MXU pass (the per-group form
+        # issued ~ngr small (1,GR)x(GR,GR) dots -- MXU issue overhead,
+        # not FLOPs, dominated the kernel)
+        rank_ref[...] = jnp.dot(mrow, U, preferred_element_type=F32,
+                                precision=jax.lax.Precision.HIGHEST)
         off_b = off_ref[i * RB + r]
 
         def grp(g, carry):
@@ -85,23 +91,22 @@ def _pack_kernel(ngr, Tpad, eps,
                 v = x_ref[pl.ds(r * ngr + g, 1), :]        # (1, GR)
                 m = v > eps
                 mf = m.astype(F32)
-                rank = jnp.dot(mf, U, preferred_element_type=F32,
-                               precision=jax.lax.Precision.HIGHEST)
+                rank = rank_ref[pl.ds(g, 1), :]            # (1, GR)
                 B1 = jnp.broadcast_to(rank, (GR, GR))      # [j,k]=rank[k]
                 Bm = ((B1 == js) & jnp.broadcast_to(m, (GR, GR)))
                 Bf = Bm.astype(F32)
                 dn = (((1,), (1,)), ((), ()))
-                cv = jax.lax.dot_general(
-                    v * mf, Bf, dn, preferred_element_type=F32,
-                    precision=jax.lax.Precision.HIGHEST)
                 kf = jnp.float32(g * GR) + lanes_f
-                ci = jax.lax.dot_general(
-                    kf, Bf, dn, preferred_element_type=F32,
-                    precision=jax.lax.Precision.HIGHEST)
+                # value + column id through ONE (2, GR) contraction
+                cvi = jax.lax.dot_general(
+                    jnp.concatenate([v * mf, kf], axis=0), Bf, dn,
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST)   # (2, GR)
                 lo = jax.lax.rem(p, GR)
                 q0 = jax.lax.div(p, GR)
-                rv = pltpu.roll(cv, lo, axis=1)
-                ri = pltpu.roll(ci, lo, axis=1)
+                rvi = pltpu.roll(cvi, lo, axis=1)
+                rv = rvi[0:1, :]
+                ri = rvi[1:2, :]
                 w0 = (lanes_i >= lo) & (lanes_i < lo + cnt)
                 pltpu.store(vals_ref.at[pl.ds(q0, 1), :], rv, mask=w0)
                 pltpu.store(idx_ref.at[pl.ds(q0, 1), :], ri, mask=w0)
@@ -138,7 +143,8 @@ def pallas_pack(x, offsets, eps, Tpad, idx16, interpret=False):
             pl.BlockSpec((Tpad // GR, GR), lambda i, *_: (0, 0)),
             pl.BlockSpec((Tpad // GR, GR), lambda i, *_: (0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((ngr, GR), F32)],
+        scratch_shapes=[pltpu.VMEM((ngr, GR), F32),
+                        pltpu.VMEM((ngr, GR), F32)],
     )
     vals2d, idx2d = pl.pallas_call(
         kernel,
@@ -166,6 +172,6 @@ def pack_supported(B: int, K: int, Tpad: int) -> bool:
         return False
     vmem = (2 * Tpad * 4                  # vals + idx whole buffers
             + 2 * RB * K * 4              # x block, double-buffered
-            + (K // GR) * GR * 4          # scratch
+            + 2 * (K // GR) * GR * 4      # scratch (gp + ranks)
             + 3 * GR * GR * 4)            # constants
     return vmem < 80 * 1024 * 1024
