@@ -62,13 +62,16 @@ def _source_digest() -> str:
     if _src_digest_cache is None:
         h = hashlib.sha256()
         here = os.path.dirname(os.path.abspath(__file__))
-        for fname in ("pallas_cd.py", "cd_kernel.py", "pallas_pack.py",
-                      "pallas_gram.py"):
+        # every module whose code is traced INTO a cached executable:
+        # predict.py was missing originally, and a fix to its packing
+        # logic kept silently loading the stale pre-fix program
+        for path in ("pallas_cd.py", "cd_kernel.py", "pallas_pack.py",
+                     "pallas_gram.py", "../predict.py", "../solvers/cd.py"):
             try:
-                with open(os.path.join(here, fname), "rb") as fh:
+                with open(os.path.join(here, path), "rb") as fh:
                     h.update(fh.read())
             except OSError:
-                h.update(fname.encode())
+                h.update(path.encode())
         _src_digest_cache = h.hexdigest()[:16]
     return _src_digest_cache
 

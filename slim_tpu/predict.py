@@ -772,21 +772,31 @@ def _pack_topn(top_id, top_sc, counts, nrcmds):
     """Pack [ids, scores, counts] into one f32 block (a single
     device->host transfer).  Ids are BITCAST into the f32 lanes (not
     value-cast), so they stay exact beyond 2^24 -- a 2M+-item catalogue
-    must not round its item ids; unpack with :func:`_unpack_topn`."""
+    must not round its item ids; unpack with :func:`_unpack_topn`.
+
+    The bit pattern is biased to ``(id + 1) | 0x40000000`` first: a raw
+    id's pattern is a DENORMAL f32 (and -1 is a NaN), and TPU fusions
+    the packed block later flows through (the lax.scan output stacking
+    in particular) flush denormals to zero -- hardware-reproduced: ids
+    came back all-0 through the scan paths while the normal-range
+    scores survived.  The bias keeps every lane a normal f32 in [2, 4);
+    ids stay exact up to 2^30."""
     import jax
     import jax.numpy as jnp
 
     ok = jnp.arange(nrcmds)[None, :] < counts[:, None]
     ids_i = jnp.where(ok, top_id.astype(jnp.int32), -1)
+    enc = jnp.bitwise_or(ids_i + 1, jnp.int32(0x40000000))
     return jnp.concatenate(
-        [jax.lax.bitcast_convert_type(ids_i, jnp.float32),
+        [jax.lax.bitcast_convert_type(enc, jnp.float32),
          jnp.where(ok, top_sc, 0.0),
          counts.astype(jnp.float32)[:, None]], axis=1)
 
 
 def _unpack_topn(all_host, nrcmds):
     """Host-side inverse of :func:`_pack_topn`."""
-    ids = np.ascontiguousarray(all_host[:, :nrcmds]).view(np.int32)
+    enc = np.ascontiguousarray(all_host[:, :nrcmds]).view(np.int32)
+    ids = (enc & np.int32(0x3FFFFFFF)) - 1
     scores = all_host[:, nrcmds:2 * nrcmds].astype(np.float32)
     counts = all_host[:, 2 * nrcmds].astype(np.int32)
     return ids, scores, counts

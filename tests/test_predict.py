@@ -529,3 +529,28 @@ def test_pack_densify_pallas_multipass_parity(rng, monkeypatch):
     ref = np.asarray(pack._densify_scatter())
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
     assert np.abs(ref).sum() > 0
+
+
+def test_pack_topn_lanes_are_normal_floats():
+    """TPU fusions flush DENORMAL f32 lanes to zero (hardware-reproduced:
+    raw-bitcast ids came back all-0 through the lax.scan output stacking
+    while normal-range scores survived).  The pack must therefore encode
+    ids so every lane is a normal float; this pins the property on CPU
+    where no flush would catch a regression."""
+    import jax.numpy as jnp
+
+    from slim_tpu.predict import _pack_topn, _unpack_topn
+
+    ids = jnp.asarray(np.array([[0, 1, 2], [27000, 1 << 24, -1]], np.int32))
+    sc = jnp.asarray(np.array([[.5, .4, .3], [9., 8., 7.]], np.float32))
+    counts = jnp.asarray(np.array([3, 2], np.int32))
+    packed = np.asarray(_pack_topn(ids, sc, counts, 3))
+    lanes = np.abs(packed[:, :3])
+    # normal f32 range, no denormals / NaN / inf anywhere in the id lanes
+    assert np.isfinite(lanes).all()
+    assert (lanes >= np.finfo(np.float32).tiny).all()
+    out_ids, out_sc, out_cnt = _unpack_topn(packed, 3)
+    np.testing.assert_array_equal(out_ids,
+                                  [[0, 1, 2], [27000, 1 << 24, -1]])
+    np.testing.assert_array_equal(out_cnt, [3, 2])
+    np.testing.assert_allclose(out_sc, [[.5, .4, .3], [9., 8., 0.]])
