@@ -78,3 +78,25 @@ def test_pack_flat_exact(rng):
             s = int(off[b])
             np.testing.assert_array_equal(fi[s:s + len(cols)], cols)
             np.testing.assert_array_equal(fv[s:s + len(cols)], x[b, cols])
+
+
+def test_compact_frac_snap_is_exact(monkeypatch):
+    """Unions snapped to full width by SLIM_COMPACT_FRAC (the high-l1
+    OOM guard: the compact launch's (K, npad)+(K, K) workspace outweighs
+    its sweep saving near full width) must produce the identical model."""
+    import numpy as np
+
+    from conftest import random_csr
+    from slim_tpu.config import SlimConfig
+    from slim_tpu.solvers.cd import estimate_model_cd
+
+    train = random_csr(None, 150, 300, density=0.08, seed=42).infer_ncols()
+    cfg = SlimConfig(l1r=0.8, l2r=0.8, optTol=1e-9, block_size=32,
+                     compact_threshold=64)
+    m_compact, _ = estimate_model_cd(train, cfg)
+    monkeypatch.setenv("SLIM_COMPACT_FRAC", "0.0")   # snap EVERY union
+    m_full, _ = estimate_model_cd(train, cfg)
+    assert m_compact.nnz == m_full.nnz
+    np.testing.assert_array_equal(m_compact.indices, m_full.indices)
+    np.testing.assert_allclose(m_compact.values(), m_full.values(),
+                               rtol=0, atol=1e-6)
