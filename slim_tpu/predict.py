@@ -112,15 +112,46 @@ _densify_fns: dict = {}
 
 
 def densify_model_device(model: CSR, npad: int):
-    """Dense device W built by on-device scatter from a slim CSR upload
-    (uint16 indices + f32 values + int32 indptr = ~6 bytes/nnz instead of
-    npad²·4): row ids are recovered with a device searchsorted over the
-    indptr, then one scatter populates W.  For a 34M-nnz ML-20M-class
-    model this moves ~200MB instead of 3.3GB through the host tunnel."""
+    """Dense device W built from a slim CSR upload (uint16 indices + f32
+    values = ~6 bytes/nnz instead of npad²·4: for a 34M-nnz ML-20M-class
+    model ~200MB instead of 3.3GB through the host tunnel).
+
+    On TPU the build runs through the Pallas slab densify
+    (:func:`_slab_densifyT` over the CSR rows, one transpose at the end
+    -- ~2x XLA's ~6.6M updates/s scatter); elsewhere, or out of kernel
+    domain, row ids are recovered with a device searchsorted over the
+    indptr and one scatter populates W."""
     import jax
     import jax.numpy as jnp
 
     nnz = max(int(model.nnz), 1)
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    if on_tpu and os.environ.get("SLIM_PREDICT_DENSIFY",
+                                 "pallas") != "scatter":
+        try:
+            T = _nnz_bucket(nnz)
+            dt = np.uint16 if npad < 65536 else np.int32
+            idx = np.zeros(T, dtype=dt)
+            idx[:model.nnz] = model.indices[:model.nnz] if model.nnz else 0
+            val = np.zeros(T, np.float32)
+            val[:model.nnz] = model.values()
+            rs = np.full(npad, model.nnz, np.int32)
+            rl = np.zeros(npad, np.int32)
+            nr = min(model.nrows, npad)
+            rs[:nr] = model.indptr[:nr].astype(np.int32)
+            rl[:nr] = np.diff(model.indptr)[:nr].astype(np.int32)
+            # n_valid=npad matches the scatter's drop-at-npad semantics
+            M = _slab_densifyT(jnp.asarray(idx), jnp.asarray(val),
+                               rs, rl, npad, npad)
+            return M.T
+        except NotImplementedError:
+            pass
+        except Exception as e:
+            import logging
+
+            logging.getLogger("slim_tpu").warning(
+                "pallas model densify unavailable (%s); using the "
+                "scatter path", str(e).splitlines()[0][:120])
     # pow2-bucket the nnz axis so models of similar size share one
     # compiled program (a raw-nnz key would recompile -- minutes on
     # remote-compile setups -- for every new model); padded entries
@@ -147,6 +178,75 @@ def densify_model_device(model: CSR, npad: int):
     val[:model.nnz] = model.values()
     return fn(jnp.asarray(idx), jnp.asarray(val),
               jnp.asarray(model.indptr.astype(np.int32)))
+
+
+def _slab_densifyT(idx_dev, val_dev, run_starts, run_lens, npad, n_valid,
+                   interpret=False):
+    """Dense (npad, npad) build from flat (id, value) runs by (npad, RT)
+    slabs of ops/pallas_gram.gathered_densifyT — the shared engine of the
+    retained-pack densify and the model-upload densify (XLA's scatter
+    alternative runs at ~6.6M updates/s; the slabs measured ~2x faster
+    at ML-20M's 34.5M nnz).
+
+    ``run_starts``/``run_lens`` (npad,) host int32 describe run r's
+    entries in the flat arrays; output column r is run r densified over
+    the id axis (ids >= n_valid dropped).  Runs longer than the width
+    domain (power rows) are covered by MULTIPLE PASSES of the same
+    (Wcap, RT) program over shifted windows — disjoint entries, the
+    dense outputs just add — so the head costs extra launches instead
+    of extra compiles.  Raises NotImplementedError out of domain
+    (callers fall back to scatter)."""
+    import jax.numpy as jnp
+
+    from .ops import exec_cache
+    from .ops.pallas_gram import RT, densify_supported, gathered_densifyT
+
+    if npad % RT:
+        raise NotImplementedError("npad not RT-tileable")
+    wcap = PREDICT_DENSIFY_WCAP
+    while wcap >= 32 and not densify_supported(wcap, RT, npad):
+        wcap //= 2
+    if wcap < 32:
+        raise NotImplementedError("no supported width at this npad")
+
+    slabs = []
+    for r0 in range(0, npad, RT):
+        rl_s = run_lens[r0:r0 + RT]
+        wmax = int(rl_s.max()) if rl_s.size else 0
+        w = min(max(32, 1 << max(wmax - 1, 0).bit_length()), wcap)
+        if not densify_supported(w, RT, npad):
+            raise NotImplementedError(f"run width {w} out of domain")
+        slabs.append((r0, w, -(-max(wmax, 1) // w)))
+
+    fns = {}
+    for _, w, _np_ in slabs:
+        if w in fns:
+            continue
+
+        @jax.jit
+        def densify(idx, val, rs, rl, _w=w):
+            return gathered_densifyT(idx, val, rs, rl, _w, npad,
+                                     False, jnp.float32, n_valid=n_valid,
+                                     interpret=interpret)
+
+        fns[w] = densify
+    parts = [None] * len(slabs)
+    for i, (r0, w, npass) in enumerate(slabs):
+        rs_s = run_starts[r0:r0 + RT].astype(np.int64)
+        rl_s = run_lens[r0:r0 + RT].astype(np.int64)
+        acc = None
+        for k in range(npass):
+            rs_k = (rs_s + k * w).astype(np.int32)
+            rl_k = np.clip(rl_s - k * w, 0, w).astype(np.int32)
+            args = (idx_dev, val_dev, jnp.asarray(rs_k),
+                    jnp.asarray(rl_k))
+            out = fns[w](*args) if interpret else exec_cache.call(
+                fns[w], f"pack_densify_slab_w{w}_n{npad}_v{n_valid}",
+                args, {})
+            acc = out if acc is None else acc + out
+        parts[i] = acc
+    M = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return M
 
 
 class DeviceModelPack:
@@ -199,79 +299,20 @@ class DeviceModelPack:
         return self._W
 
     def _densify_pallas(self, interpret=False):
-        """Slab densify through ops/pallas_gram.gathered_densifyT: the
-        pack's per-target runs are exactly the kernel's (rs, rl)
-        contract, coordinates are already item-space (= the output's
-        dense axis), so the (npad, RT) slabs concatenate into
-        W[:, rank_order] and one column gather lands item space.  ~2x
-        the XLA scatter (measured 3.5 vs 6.5 s at ML-20M's 34.5M nnz)."""
+        """Slab densify through :func:`_slab_densifyT`: the pack's
+        per-target runs are exactly the kernel's (rs, rl) contract; the
+        flat rank coords map to item space ONCE over (Tb,) (~70 MB at
+        ML-20M; mapping the (npad, npad) result instead needs a double
+        gather whose two extra 3.3 GB transients OOM'd the 16 GB part),
+        so only the cheap column gather remains.  ~2x the XLA scatter
+        (measured 3.5 vs 6.5 s at ML-20M's 34.5M nnz)."""
         import jax.numpy as jnp
 
-        from .ops import exec_cache
-        from .ops.pallas_gram import RT, densify_supported, \
-            gathered_densifyT
-
-        npad, n = self.npad, self.n
-        if npad % RT:
-            raise NotImplementedError("npad not RT-tileable")
-        rl = self.run_lens
-        # power targets sit in the head slabs under frequency order and
-        # can overrun the kernel's width domain; long runs are covered by
-        # MULTIPLE PASSES of the same (Wcap, RT) program over shifted
-        # windows (disjoint entries -> the dense outputs just add), so
-        # the head costs extra launches instead of extra compiles
-        wcap = PREDICT_DENSIFY_WCAP
-        while wcap >= 32 and not densify_supported(wcap, RT, npad):
-            wcap //= 2
-        if wcap < 32:
-            raise NotImplementedError("no supported width at this npad")
-
-        slabs = []
-        for r0 in range(0, npad, RT):
-            rl_s = rl[r0:r0 + RT]
-            wmax = int(rl_s.max()) if rl_s.size else 0
-            w = min(max(32, 1 << max(wmax - 1, 0).bit_length()), wcap)
-            if not densify_supported(w, RT, npad):
-                raise NotImplementedError(f"run width {w} out of domain")
-            slabs.append((r0, w, -(-max(wmax, 1) // w)))
-
-        fns = {}
-        for _, w, _np_ in slabs:
-            if w in fns:
-                continue
-
-            @jax.jit
-            def densify(idx, val, rs, rl, _w=w):
-                # n_valid drops rank-padding coordinates (the host CSR
-                # assembly's coord < n filter; item<n <=> rank<n)
-                return gathered_densifyT(idx, val, rs, rl, _w, npad,
-                                         False, jnp.float32, n_valid=n,
-                                         interpret=interpret)
-
-            fns[w] = densify
-        # map the flat rank coords to item space ONCE over (Tb,) (~70 MB
-        # at ML-20M) so each slab's dense axis is already item rows and
-        # only the cheap column gather remains -- mapping the (npad,
-        # npad) result instead needs a double gather whose two extra
-        # 3.3 GB transients OOM'd the 16 GB part next to the Gram
         idx_item = jnp.take(jnp.asarray(self.p_pad), self.idx)
-        parts = [None] * len(slabs)
-        for i, (r0, w, npass) in enumerate(slabs):
-            rs_s = self.run_starts[r0:r0 + RT].astype(np.int64)
-            rl_s = rl[r0:r0 + RT].astype(np.int64)
-            acc = None
-            for k in range(npass):
-                rs_k = (rs_s + k * w).astype(np.int32)
-                rl_k = np.clip(rl_s - k * w, 0, w).astype(np.int32)
-                args = (idx_item, self.vals, jnp.asarray(rs_k),
-                        jnp.asarray(rl_k))
-                out = fns[w](*args) if interpret else exec_cache.call(
-                    fns[w], f"pack_densify_slab_w{w}_n{npad}_v{n}",
-                    args, {})
-                acc = out if acc is None else acc + out
-            parts[i] = acc
-        M = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        parts = idx_item = None   # let the slab pieces free behind concat
+        M = _slab_densifyT(idx_item, self.vals, self.run_starts,
+                           self.run_lens, self.npad, self.n,
+                           interpret=interpret)
+        idx_item = None
         # M[:, rank_target] -> W[:, item]: one column gather
         return jnp.take(M, jnp.asarray(self.posmap_pad.astype(np.int32)),
                         axis=1)

@@ -554,3 +554,38 @@ def test_pack_topn_lanes_are_normal_floats():
                                   [[0, 1, 2], [27000, 1 << 24, -1]])
     np.testing.assert_array_equal(out_cnt, [3, 2])
     np.testing.assert_allclose(out_sc, [[.5, .4, .3], [9., 8., 0.]])
+
+
+def test_slab_densify_upload_path_parity(rng):
+    """The model-upload densify's slab form (CSR rows as runs, one
+    transpose) must equal the scatter/host densify, including duplicate
+    (row, col) accumulation (models read from files may carry them)."""
+    import jax.numpy as jnp
+
+    import slim_tpu.predict as P
+
+    npad, n = 256, 240
+    rows = rng.integers(0, n, 600)
+    cols = rng.integers(0, n, 600)
+    vals = rng.normal(size=600).astype(np.float32)
+    # force duplicates
+    rows[10:20] = rows[0]
+    cols[10:20] = cols[0]
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    model = CSR.from_arrays(n, n, indptr, cols.astype(np.int32), vals)
+
+    W_host = np.zeros((npad, npad), np.float32)
+    np.add.at(W_host, (rows, cols), vals)
+
+    rs = np.full(npad, model.nnz, np.int32)
+    rl = np.zeros(npad, np.int32)
+    rs[:n] = model.indptr[:n]
+    rl[:n] = np.diff(model.indptr)
+    M = P._slab_densifyT(jnp.asarray(model.indices.astype(np.uint16)),
+                         jnp.asarray(model.values()), rs, rl, npad, npad,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(M).T, W_host, rtol=0, atol=1e-5)
